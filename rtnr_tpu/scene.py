@@ -1,0 +1,270 @@
+"""Scene container: point cloud + uniform voxel block grid + cache.
+
+Capability parity with the reference "OctreeGrid" (which, despite its name,
+is a flat uniform voxel grid — reference include/Octreegrid.h:16-180 and
+cloudreader.cpp:8-82):
+
+- 0.25 m blocks over the meter-rounded AABB, linear key
+  ``x + y*nx + z*nx*ny`` (reference Octreegrid.h:48-50).
+- Load-or-rebuild disk cache (the reference caches a binary ``.oct``; we
+  cache a compressed ``.npz`` with identical content semantics —
+  cloudreader.cpp:180-216).
+- Random per-block downsampling (reference Octreegrid.h:124-149).
+- Flattening to contiguous position/color arrays for the renderer
+  (reference Octreegrid.h:162-180).
+
+TPU-first design difference: the grid is stored as a per-point int32 block
+key plus grid metadata, not a hash map of vectors. The block structure is the
+**sharding unit** for multi-chip rendering and the culling unit for tile
+gather — the reference builds the grid but never uses it for culling; we do.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from rtnr_tpu.config import RenderConfig
+
+
+@dataclasses.dataclass
+class Scene:
+    points: np.ndarray  # (N, 3) float32, world space
+    colors: np.ndarray  # (N, 3) uint8, RGB
+    block_keys: np.ndarray  # (N,) int32 voxel key per point
+    num_blocks: Tuple[int, int, int]  # grid dims (nx, ny, nz)
+    bb_min: np.ndarray  # (3,) float32 meter-rounded AABB min
+    bb_max: np.ndarray  # (3,) float32 meter-rounded AABB max
+
+    @property
+    def n_points(self) -> int:
+        return int(self.points.shape[0])
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_arrays(
+        cls,
+        points: np.ndarray,
+        colors: Optional[np.ndarray] = None,
+        block_size_m: float = RenderConfig.block_size_m,
+    ) -> "Scene":
+        """Build the block grid over raw arrays.
+
+        Mirrors reference cloudreader.cpp:8-82: AABB is rounded outward to
+        whole meters (ceil/floor), block count = extent / 0.25 truncated,
+        and each point maps to ``floor((p - bbMin) / extent * nBlocks)``.
+        """
+        points = np.ascontiguousarray(points, dtype=np.float32)
+        n = points.shape[0]
+        if colors is None:
+            colors = np.zeros((n, 3), dtype=np.uint8)
+        colors = np.ascontiguousarray(colors, dtype=np.uint8)
+        if n == 0:
+            return cls(
+                points=points,
+                colors=colors,
+                block_keys=np.zeros((0,), np.int32),
+                num_blocks=(1, 1, 1),
+                bb_min=np.zeros(3, np.float32),
+                bb_max=np.ones(3, np.float32),
+            )
+
+        bb_min = np.floor(points.min(axis=0)).astype(np.float32)
+        bb_max = np.ceil(points.max(axis=0)).astype(np.float32)
+        # Guard degenerate axes (all points in one meter slab after rounding
+        # still yields extent >= 1 because floor/ceil differ unless exactly
+        # integral; force a minimum extent of one block).
+        extent = np.maximum(bb_max - bb_min, np.float32(block_size_m))
+        bb_max = bb_min + extent
+        nb = np.maximum((extent / np.float32(block_size_m)).astype(np.int64), 1)
+
+        rel = (points - bb_min) / extent  # in [0, 1]
+        idx = np.floor(rel * nb).astype(np.int64)
+        idx = np.clip(idx, 0, nb - 1)  # points exactly on bbMax land inside
+        keys = (idx[:, 0] + idx[:, 1] * nb[0] + idx[:, 2] * nb[0] * nb[1]).astype(np.int32)
+
+        return cls(
+            points=points,
+            colors=colors,
+            block_keys=keys,
+            num_blocks=(int(nb[0]), int(nb[1]), int(nb[2])),
+            bb_min=bb_min,
+            bb_max=bb_max.astype(np.float32),
+        )
+
+    @classmethod
+    def synthetic(
+        cls,
+        n_points: int = 100_000,
+        seed: int = 0,
+        extent: float = 10.0,
+        block_size_m: float = RenderConfig.block_size_m,
+    ) -> "Scene":
+        """Random colored cloud (the CPU-runnable baseline config)."""
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-extent / 2, extent / 2, size=(n_points, 3)).astype(np.float32)
+        cols = rng.integers(0, 256, size=(n_points, 3), dtype=np.uint8)
+        return cls.from_arrays(pts, cols, block_size_m)
+
+    # ------------------------------------------------------------------
+    # Disk cache (load-or-rebuild, like reference cloudreader.cpp:180-216)
+    # ------------------------------------------------------------------
+    CACHE_NAME = "pcd.npz"
+
+    def save_cache(self, cache_dir: Union[str, Path]) -> Path:
+        cache_dir = Path(cache_dir)
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        out = cache_dir / self.CACHE_NAME
+        np.savez_compressed(
+            out,
+            points=self.points,
+            colors=self.colors,
+            block_keys=self.block_keys,
+            num_blocks=np.asarray(self.num_blocks, np.int64),
+            bb_min=self.bb_min,
+            bb_max=self.bb_max,
+        )
+        return out
+
+    @classmethod
+    def load_cache(cls, cache_dir: Union[str, Path]) -> Optional["Scene"]:
+        f = Path(cache_dir) / cls.CACHE_NAME
+        if not f.exists():
+            return None
+        z = np.load(f)
+        return cls(
+            points=z["points"],
+            colors=z["colors"],
+            block_keys=z["block_keys"],
+            num_blocks=tuple(int(v) for v in z["num_blocks"]),
+            bb_min=z["bb_min"],
+            bb_max=z["bb_max"],
+        )
+
+    @classmethod
+    def from_file(
+        cls,
+        path: Union[str, Path],
+        cache_dir: Optional[Union[str, Path]] = None,
+        block_size_m: float = RenderConfig.block_size_m,
+    ) -> "Scene":
+        """Load a cloud from .ply or .e57, with load-or-rebuild caching.
+
+        Same dispatch-and-cache semantics as reference
+        ``CloudReader::loadCloud`` (cloudreader.cpp:180-216).
+        """
+        if cache_dir is not None:
+            cached = cls.load_cache(cache_dir)
+            if cached is not None:
+                return cached
+        path = Path(path)
+        ext = path.suffix.lower()
+        if ext == ".ply":
+            from rtnr_tpu.data.ply import read_ply
+
+            pts, cols = read_ply(path)
+        elif ext == ".e57":
+            from rtnr_tpu.data.e57 import read_e57
+
+            pts, cols = read_e57(path)
+        else:
+            raise ValueError(f"File extension {ext} not supported. Only .e57 and .ply are supported.")
+        scene = cls.from_arrays(pts, cols, block_size_m)
+        if cache_dir is not None:
+            scene.save_cache(cache_dir)
+        return scene
+
+    # ------------------------------------------------------------------
+    # Grid utilities
+    # ------------------------------------------------------------------
+    def decode_key(self, key: np.ndarray) -> np.ndarray:
+        """Linear key -> (x, y, z) block index (reference Octreegrid.h:116-121)."""
+        nx, ny, _nz = self.num_blocks
+        z = key // (nx * ny)
+        rem = key - z * nx * ny
+        y = rem // nx
+        x = rem % nx
+        return np.stack([x, y, z], axis=-1)
+
+    def block_bounds(self, key: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-block AABB (reference cloudreader.cpp:62-80)."""
+        nb = np.asarray(self.num_blocks, np.float32)
+        size = (self.bb_max - self.bb_min) / nb
+        xyz = self.decode_key(np.asarray(key)).astype(np.float32)
+        lo = self.bb_min + xyz * size
+        return lo, lo + size
+
+    def downsample(self, keep_percentage: float, seed: int = 0) -> "Scene":
+        """Random per-block decimation (reference Octreegrid.h:124-149).
+
+        Keeps ``ceil-ish`` the same count per block as the reference:
+        ``size - size*(1-keep)`` truncated.
+        """
+        rng = np.random.default_rng(seed)
+        order = np.argsort(self.block_keys, kind="stable")
+        keys_sorted = self.block_keys[order]
+        # segment boundaries
+        boundaries = np.flatnonzero(np.diff(keys_sorted)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(keys_sorted)]])
+        keep_idx = []
+        for s, e in zip(starts, ends):
+            size = e - s
+            remove = int(size * (1.0 - keep_percentage))
+            sel = rng.permutation(size)[: size - remove]
+            keep_idx.append(order[s:e][sel])
+        if keep_idx:
+            keep = np.concatenate(keep_idx)
+        else:
+            keep = np.zeros((0,), np.int64)
+        return Scene(
+            points=self.points[keep],
+            colors=self.colors[keep],
+            block_keys=self.block_keys[keep],
+            num_blocks=self.num_blocks,
+            bb_min=self.bb_min,
+            bb_max=self.bb_max,
+        )
+
+    def sorted_by_block(self) -> "Scene":
+        """Reorder points grouped by block key.
+
+        This is the layout uploaded to device: contiguous blocks make point
+        sharding align with spatial structure (frustum/tile culling, and the
+        flattening step of reference Octreegrid.h:162-180).
+        """
+        order = np.argsort(self.block_keys, kind="stable")
+        return Scene(
+            points=self.points[order],
+            colors=self.colors[order],
+            block_keys=self.block_keys[order],
+            num_blocks=self.num_blocks,
+            bb_min=self.bb_min,
+            bb_max=self.bb_max,
+        )
+
+    def device_arrays(
+        self, pad_to_multiple: int = 8
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Flatten to renderer inputs: positions (N',3) f32, colors (N',3)
+        f32, valid mask (N',) bool.
+
+        Pads N up to a multiple (static shapes for jit); padded entries are
+        masked out by ``valid`` so they never contribute to any frame
+        regardless of camera placement.
+        """
+        n = self.n_points
+        n_pad = (-n) % pad_to_multiple
+        pts = self.points
+        cols = self.colors.astype(np.float32)
+        valid = np.ones((n,), dtype=bool)
+        if n_pad:
+            pts = np.concatenate([pts, np.zeros((n_pad, 3), np.float32)], axis=0)
+            cols = np.concatenate([cols, np.zeros((n_pad, 3), np.float32)], axis=0)
+            valid = np.concatenate([valid, np.zeros((n_pad,), bool)])
+        return np.ascontiguousarray(pts), np.ascontiguousarray(cols), valid
