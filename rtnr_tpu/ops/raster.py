@@ -37,7 +37,7 @@ with `pmin`, per-shard partial sums with `psum` (see rtnr_tpu/parallel).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,6 +118,109 @@ def resolve_uint8(sum_img: jax.Array, cnt_img: jax.Array) -> jax.Array:
     return jnp.where(cnt_img[:, None] > 0, rgb, jnp.uint8(0))
 
 
+class SortedPoints(NamedTuple):
+    """Points sorted by (pixel id, depth) + segment metadata.
+
+    The reusable intermediate of the sort-based raster: the single-chip path
+    consumes it directly; the sharded path computes it per point shard, merges
+    head depths with `pmin`, then reuses it for the partial-sum pass.
+    """
+
+    pix: jax.Array  # (N,) int32, sorted; sentinel H*W for culled points
+    z: jax.Array  # (N,) f32, ascending within a pixel segment
+    rgb: jax.Array  # (N, 3) int32
+    ok: jax.Array  # (N,) bool — pix < H*W
+    is_head: jax.Array  # (N,) bool — first point of its pixel segment
+    is_last: jax.Array  # (N,) bool — last point of its pixel segment
+    head_pos: jax.Array  # (N,) int32 — index of the segment head
+
+
+def project_and_sort(
+    points: jax.Array,
+    colors: jax.Array,
+    cam_proj: jax.Array,
+    *,
+    width: int,
+    height: int,
+    valid: Optional[jax.Array] = None,
+) -> SortedPoints:
+    """Project points and sort by (pixel id, depth)."""
+    n = points.shape[0]
+    hw = width * height
+    u, v, z = project_points(points, cam_proj.astype(jnp.float32))
+    pix, ok = _pixel_ids(u, v, z, valid, width, height)
+    zs = jnp.where(ok, z, jnp.float32(jnp.inf))
+
+    cols = colors.astype(jnp.int32)
+    pix_s, z_s, r_s, g_s, b_s = jax.lax.sort(
+        (pix, zs, cols[:, 0], cols[:, 1], cols[:, 2]), num_keys=2
+    )
+    ok_s = pix_s < hw
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
+    is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
+    head_pos = jax.lax.cummax(jnp.where(is_head, idx, jnp.int32(0)))
+    return SortedPoints(
+        pix=pix_s,
+        z=z_s,
+        rgb=jnp.stack([r_s, g_s, b_s], axis=1),
+        ok=ok_s,
+        is_head=is_head,
+        is_last=is_last,
+        head_pos=head_pos,
+    )
+
+
+def min_depth_image(sp: SortedPoints, hw: int) -> jax.Array:
+    """Scatter segment-head depths -> (HW,) min-depth image (FLT_MAX empty).
+
+    Segment heads have unique pixel ids, so this is a conflict-free scatter
+    (the TPU replacement for the reference's atomicMin, render.cu:81).
+    """
+    head_ids = jnp.where(sp.ok & sp.is_head, sp.pix, jnp.int32(hw))
+    return (
+        jnp.full((hw,), DEPTH_EMPTY, jnp.float32)
+        .at[head_ids]
+        .set(sp.z, mode="drop", unique_indices=True)
+    )
+
+
+def accumulate_sums(
+    sp: SortedPoints, min_depth: Optional[jax.Array], hw: int, depth_band: float
+) -> jax.Array:
+    """Band-filtered per-pixel color sums + counts -> (HW, 4) int32.
+
+    ``min_depth=None`` uses the local segment-head depth (single-chip path);
+    otherwise band membership is tested against the supplied (e.g. globally
+    pmin-merged) min-depth image — matching the reference's two-pass
+    structure where accumulation reads the *final* z-buffer
+    (render.cu:101-106).
+    """
+    if min_depth is None:
+        min_d = jnp.take(sp.z, sp.head_pos)
+    else:
+        min_d = jnp.take(min_depth, jnp.minimum(sp.pix, hw - 1))
+    # Band (reference render.cu:106): keep iff NOT (depth > min + 0.02f).
+    in_band = sp.ok & ~(sp.z > min_d + jnp.float32(depth_band))
+
+    w = in_band.astype(jnp.int32)
+    contrib = jnp.concatenate([sp.rgb * w[:, None], w[:, None]], axis=1)  # (N, 4)
+    csum = jnp.cumsum(contrib, axis=0)
+    prev = jnp.where(
+        (sp.head_pos > 0)[:, None],
+        jnp.take(csum, jnp.maximum(sp.head_pos - 1, 0), axis=0),
+        0,
+    )
+    seg_total = csum - prev  # at segment-last positions: full segment sum
+
+    last_ids = jnp.where(sp.ok & sp.is_last, sp.pix, jnp.int32(hw))
+    return (
+        jnp.zeros((hw, 4), jnp.int32)
+        .at[last_ids]
+        .set(seg_total, mode="drop", unique_indices=True)
+    )
+
+
 def _raster_sums(
     points: jax.Array,
     colors: jax.Array,
@@ -130,51 +233,10 @@ def _raster_sums(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sort-based core: per-pixel (color sums int32 (HW,3), count int32 (HW,),
     min-depth f32 (HW,))."""
-    n = points.shape[0]
     hw = width * height
-    u, v, z = project_points(points, cam_proj.astype(jnp.float32))
-    pix, ok = _pixel_ids(u, v, z, valid, width, height)
-    zs = jnp.where(ok, z, jnp.float32(jnp.inf))
-
-    cols = colors.astype(jnp.int32)
-    pix_s, z_s, r_s, g_s, b_s = jax.lax.sort(
-        (pix, zs, cols[:, 0], cols[:, 1], cols[:, 2]), num_keys=2
-    )
-    ok_s = pix_s < hw
-
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
-    is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
-    head_pos = jax.lax.cummax(jnp.where(is_head, idx, jnp.int32(0)))
-    # Depth at segment head == per-pixel min depth (second sort key).
-    min_d = jnp.take(z_s, head_pos)
-
-    # Accumulation band (reference render.cu:106): keep iff
-    # NOT (depth > min_depth + 0.02f), computed in float32.
-    in_band = ok_s & ~(z_s > min_d + jnp.float32(depth_band))
-
-    w = in_band.astype(jnp.int32)
-    contrib = jnp.stack([r_s * w, g_s * w, b_s * w, w], axis=1)  # (N, 4)
-    csum = jnp.cumsum(contrib, axis=0)
-    prev = jnp.where(
-        (head_pos > 0)[:, None], jnp.take(csum, jnp.maximum(head_pos - 1, 0), axis=0), 0
-    )
-    seg_total = csum - prev  # at segment-last positions: full segment sum
-
-    drop = jnp.int32(hw)  # out-of-bounds index -> dropped by scatter
-    last_ids = jnp.where(ok_s & is_last, pix_s, drop)
-    head_ids = jnp.where(ok_s & is_head, pix_s, drop)
-
-    sums4 = (
-        jnp.zeros((hw, 4), jnp.int32)
-        .at[last_ids]
-        .set(seg_total, mode="drop", unique_indices=True)
-    )
-    depth_img = (
-        jnp.full((hw,), DEPTH_EMPTY, jnp.float32)
-        .at[head_ids]
-        .set(z_s, mode="drop", unique_indices=True)
-    )
+    sp = project_and_sort(points, colors, cam_proj, width=width, height=height, valid=valid)
+    depth_img = min_depth_image(sp, hw)
+    sums4 = accumulate_sums(sp, None, hw, depth_band)
     return sums4[:, :3], sums4[:, 3], depth_img
 
 

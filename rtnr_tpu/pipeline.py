@@ -1,0 +1,263 @@
+"""End-to-end render pipeline: raster -> prefilter -> U-Net, one XLA program.
+
+The reference exposes three C++ entry points on ``ProjectCloud``
+(computeRGBD / computeFilteredRGBD / computeFull, reference
+project_cloud.h:11-18) with hand-managed device buffers, per-frame
+cudaMalloc, and cudaDeviceSynchronize between kernels
+(project_cloud.cu:314-329, 331-392). Here the three stages are pure jitted
+functions over scene arrays; XLA owns all buffers and scheduling, and the
+U-Net runs in-graph (no TorchScript/TensorRT sidecar).
+
+``Renderer`` is the convenience wrapper mirroring the reference's object
+API: it pins the scene to device once (the ctor upload of
+project_cloud.cu:200-206) and caches compiled executables per resolution
+(the reference reallocates buffers on resolution change,
+project_cloud.cu:275-298 — here it's just a new jit specialization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtnr_tpu.camera import Camera
+from rtnr_tpu.config import DEPTH_EMPTY, RenderConfig
+from rtnr_tpu.models.unet import UNet
+from rtnr_tpu.ops.prefilter import depth_prefilter
+from rtnr_tpu.ops.raster import rasterize
+from rtnr_tpu.scene import Scene
+
+
+def pyramid_pad_shape(height: int, width: int, levels: int) -> Tuple[int, int]:
+    """Smallest (H', W') >= (H, W) divisible by 2**levels."""
+    m = 1 << levels
+    return (-(-height // m) * m, -(-width // m) * m)
+
+
+def pad_to_pyramid(
+    depth: jax.Array, rgb: jax.Array, levels: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Pad depth (FLT_MAX = empty) and rgb (black) so H, W divide 2**levels.
+
+    The reference's prefilter silently truncates non-divisible resolutions
+    (see ops/prefilter.py docstring); we pad with empty pixels instead —
+    padded pixels are always rejected by the filter, and outputs are cropped
+    back by the caller.
+    """
+    h, w = depth.shape
+    ph, pw = pyramid_pad_shape(h, w, levels)
+    if (ph, pw) == (h, w):
+        return depth, rgb
+    depth = jnp.pad(depth, ((0, ph - h), (0, pw - w)), constant_values=DEPTH_EMPTY)
+    rgb = jnp.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)))
+    return depth, rgb
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "depth_band"))
+def render_rgbd(
+    points: jax.Array,
+    colors: jax.Array,
+    valid: jax.Array,
+    cam_proj: jax.Array,
+    *,
+    width: int,
+    height: int,
+    depth_band: float = 0.02,
+) -> Dict[str, jax.Array]:
+    """Stage 1 — raw projection (reference computeRGBD, project_cloud.cu:268)."""
+    rgb, depth = rasterize(
+        points, colors, cam_proj, width=width, height=height, valid=valid, depth_band=depth_band
+    )
+    return {"rgb": rgb, "depth": depth}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "depth_band", "levels"),
+)
+def render_filtered(
+    points: jax.Array,
+    colors: jax.Array,
+    valid: jax.Array,
+    cam_proj: jax.Array,
+    *,
+    width: int,
+    height: int,
+    depth_band: float = 0.02,
+    levels: int = 4,
+    filter_strength: float = 1.025,
+    gradient_filter: float = 0.03,
+) -> Dict[str, jax.Array]:
+    """Stage 2 — projection + depth prefilter (reference computeFilteredRGBD,
+    project_cloud.cu:394-434). Returns the reference's post-filter buffers:
+    rgb zeroed and depth -1 at rejected pixels, plus the packed U-Net input."""
+    rgb, depth = rasterize(
+        points, colors, cam_proj, width=width, height=height, valid=valid, depth_band=depth_band
+    )
+    dpad, cpad = pad_to_pyramid(depth, rgb, levels)
+    out = depth_prefilter(
+        dpad, cpad, levels=levels, filter_strength=filter_strength,
+        gradient_filter=gradient_filter,
+    )
+    crop = lambda x: x[:height, :width]
+    return {
+        "rgb": crop(out["filtered_rgb"]),
+        "depth": crop(out["filtered_depth"]),
+        "raw_rgb": rgb,
+        "raw_depth": depth,
+        "mask": crop(out["mask"]),
+        "unet_input": out["unet_input"],  # padded (H', W', 5) — U-Net runs padded
+        "depth_min": out["depth_min"],
+        "depth_max": out["depth_max"],
+    }
+
+
+def render_full(
+    points: jax.Array,
+    colors: jax.Array,
+    valid: jax.Array,
+    cam_proj: jax.Array,
+    unet: UNet,
+    unet_variables: Any,
+    *,
+    width: int,
+    height: int,
+    depth_band: float = 0.02,
+    levels: int = 4,
+    filter_strength: float = 1.025,
+    gradient_filter: float = 0.03,
+) -> Dict[str, jax.Array]:
+    """Stage 3 — full neural render (reference computeFull,
+    project_cloud.cu:437-493): raster + prefilter + U-Net, one fused program.
+
+    Returns float RGB in [~0, 1] (``rgb_f``) and the 8-bit frame scaled by
+    255 with saturation (``rgb``), matching the reference's
+    ``convertTo(CV_8UC3, 255.0)`` (project_cloud.cu:480).
+    """
+    mid = render_filtered(
+        points, colors, valid, cam_proj, width=width, height=height,
+        depth_band=depth_band, levels=levels, filter_strength=filter_strength,
+        gradient_filter=gradient_filter,
+    )
+    x = mid["unet_input"][None]  # (1, H', W', 5)
+    y = unet.apply(unet_variables, x)[0].astype(jnp.float32)  # (H', W', 3)
+    y = y[:height, :width]
+    rgb8 = jnp.clip(jnp.rint(y * 255.0), 0, 255).astype(jnp.uint8)
+    return {
+        "rgb": rgb8,
+        "rgb_f": y,
+        "depth": mid["depth"],
+        "raw_rgb": mid["raw_rgb"],
+        "raw_depth": mid["raw_depth"],
+        "mask": mid["mask"],
+    }
+
+
+@dataclasses.dataclass
+class FrameTimings:
+    """Per-stage wall times (the reference's RENDER_TIME print,
+    project_cloud.cu:490), measured with block_until_ready."""
+
+    projection_ms: float = 0.0
+    filter_ms: float = 0.0
+    unet_ms: float = 0.0
+    total_ms: float = 0.0
+
+    def __str__(self) -> str:
+        return (
+            f"RENDER_TIME: projection[{self.projection_ms:.2f}], "
+            f"filter[{self.filter_ms:.2f}], unet[{self.unet_ms:.2f}], "
+            f"Total[{self.total_ms:.2f}]"
+        )
+
+
+class Renderer:
+    """Scene-pinned render frontend (the reference's ``ProjectCloud`` role).
+
+    Parameters
+    ----------
+    scene: the point cloud (uploaded to device once).
+    config: heuristic constants.
+    unet_variables: Flax variables for the refinement net; if None,
+        ``compute_full`` is unavailable (mirrors the empty-model-filename
+        branch of project_cloud.cu:247-250).
+    unet_dtype: "bf16" (TPU-native) or "f32" (parity).
+    """
+
+    def __init__(
+        self,
+        scene: Scene,
+        config: RenderConfig = RenderConfig(),
+        unet_variables: Any = None,
+        pad_points_to: int = 1024,
+    ):
+        self.config = config
+        pts, cols, valid = scene.sorted_by_block().device_arrays(pad_points_to)
+        self.points = jnp.asarray(pts)
+        self.colors = jnp.asarray(cols)
+        self.valid = jnp.asarray(valid)
+        self.unet_variables = unet_variables
+        dtype = jnp.bfloat16 if config.unet_dtype == "bf16" else jnp.float32
+        self.unet = UNet(features=tuple(config.unet_features),
+                         out_channels=config.unet_out_channels, dtype=dtype)
+        self._full_jit = jax.jit(
+            functools.partial(self._full_impl),
+            static_argnames=("width", "height"),
+        )
+        self.last_timings = FrameTimings()
+
+    def _cam_proj(self, camera: Camera, extrinsics: np.ndarray) -> jax.Array:
+        return jnp.asarray(camera.cam_proj(extrinsics), dtype=jnp.float32)
+
+    def compute_rgbd(self, camera: Camera, extrinsics: np.ndarray) -> Dict[str, np.ndarray]:
+        t0 = time.perf_counter()
+        out = render_rgbd(
+            self.points, self.colors, self.valid, self._cam_proj(camera, extrinsics),
+            width=camera.width, height=camera.height, depth_band=self.config.depth_band,
+        )
+        out = jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) * 1e3
+        self.last_timings = FrameTimings(projection_ms=dt, total_ms=dt)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def compute_filtered_rgbd(self, camera: Camera, extrinsics: np.ndarray) -> Dict[str, np.ndarray]:
+        t0 = time.perf_counter()
+        out = render_filtered(
+            self.points, self.colors, self.valid, self._cam_proj(camera, extrinsics),
+            width=camera.width, height=camera.height, depth_band=self.config.depth_band,
+            levels=self.config.pyramid_levels,
+            filter_strength=self.config.filter_strength,
+            gradient_filter=self.config.gradient_filter,
+        )
+        out = jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) * 1e3
+        self.last_timings = FrameTimings(filter_ms=dt, total_ms=dt)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _full_impl(self, cam_proj, unet_variables, *, width, height):
+        return render_full(
+            self.points, self.colors, self.valid, cam_proj, self.unet, unet_variables,
+            width=width, height=height, depth_band=self.config.depth_band,
+            levels=self.config.pyramid_levels,
+            filter_strength=self.config.filter_strength,
+            gradient_filter=self.config.gradient_filter,
+        )
+
+    def compute_full(self, camera: Camera, extrinsics: np.ndarray) -> Dict[str, np.ndarray]:
+        if self.unet_variables is None:
+            raise RuntimeError("No U-Net variables given; compute_full unavailable.")
+        t0 = time.perf_counter()
+        out = self._full_jit(
+            self._cam_proj(camera, extrinsics), self.unet_variables,
+            width=camera.width, height=camera.height,
+        )
+        out = jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) * 1e3
+        self.last_timings = FrameTimings(unet_ms=dt, total_ms=dt)
+        return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,82 @@
+"""CLI end-to-end test: tiny PLY + trajectory + calibration -> PNGs."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from rtnr_tpu.apps.render_trajectory import main as cli_main
+from rtnr_tpu.camera import Camera
+from rtnr_tpu.data.ply import write_ply
+from rtnr_tpu.utils.image import read_png, write_png
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    f = tmp_path / "x.png"
+    write_png(f, img)
+    back = read_png(f)
+    np.testing.assert_array_equal(back, img)
+    gray = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    write_png(f, gray)
+    np.testing.assert_array_equal(read_png(f), gray)
+
+
+def test_cli_project_stage(tmp_path):
+    rng = np.random.default_rng(1)
+    n = 5000
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), rng.uniform(4, 8, n)], 1
+    ).astype(np.float32)
+    cols = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    cloud = tmp_path / "cloud.ply"
+    write_ply(cloud, pts, cols)
+
+    calib = tmp_path / "calib.txt"
+    Camera.from_params(30, 30, 16, 16, 32, 32, (0, 0, 0, 0, 0)).save_calibration(calib)
+
+    traj = tmp_path / "traj.txt"
+    traj.write_text("0.0 0 0 0 0 0 0 1\n1.0 0.1 0 0 0 0 0 1\n")
+
+    out = tmp_path / "out"
+    rc = cli_main(
+        [str(cloud), str(traj), str(calib), "-o", str(out), "--stage", "project", "--depth"]
+    )
+    assert rc == 0
+    assert (out / "frame_1.png").exists()
+    assert (out / "frame_2.png").exists()
+    assert (out / "frame_1_depth.png").exists()
+    img = read_png(out / "frame_1.png")
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0  # something rendered
+
+
+def test_cli_filtered_stage(tmp_path):
+    rng = np.random.default_rng(2)
+    n = 3000
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), np.full(n, 5.0)], 1
+    ).astype(np.float32)
+    cols = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    cloud = tmp_path / "cloud.ply"
+    write_ply(cloud, pts, cols)
+    calib = tmp_path / "calib.txt"
+    Camera.from_params(30, 30, 16, 16, 32, 32, (0, 0, 0, 0, 0)).save_calibration(calib)
+    traj = tmp_path / "traj.txt"
+    traj.write_text("0.0 0 0 0 0 0 0 1\n")
+    out = tmp_path / "out"
+    rc = cli_main([str(cloud), str(traj), str(calib), "-o", str(out), "--stage", "filtered"])
+    assert rc == 0
+    assert (out / "frame_1.png").exists()
+
+
+def test_cli_full_without_ckpt_errors(tmp_path):
+    cloud = tmp_path / "c.ply"
+    write_ply(cloud, np.zeros((10, 3), np.float32), None)
+    calib = tmp_path / "calib.txt"
+    Camera.from_params(30, 30, 16, 16, 32, 32, (0, 0, 0, 0, 0)).save_calibration(calib)
+    traj = tmp_path / "t.txt"
+    traj.write_text("0 0 0 0 0 0 0 1\n")
+    rc = cli_main([str(cloud), str(traj), str(calib), "--stage", "full"])
+    assert rc == 1
