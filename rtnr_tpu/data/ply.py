@@ -76,7 +76,20 @@ def _parse_header(f) -> Tuple[List[_Element], str]:
 
 
 def read_ply(path: Union[str, Path]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Read (points (N,3) f32, colors (N,3) u8 or None) from a PLY file."""
+    """Read (points (N,3) f32, colors (N,3) u8 or None) from a PLY file.
+
+    Tries the native C++ fast path first (rtnr_tpu.data.native) for binary
+    files; falls back to this pure-python reader for ascii/exotic layouts."""
+    from rtnr_tpu.data import native
+
+    if native.available():
+        got = native.read_ply_native(path)
+        if got is not None:
+            return got
+    return _read_ply_py(path)
+
+
+def _read_ply_py(path: Union[str, Path]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     with open(path, "rb") as f:
         elements, fmt = _parse_header(f)
         vertex = next((e for e in elements if e.name == "vertex"), None)

@@ -180,6 +180,38 @@ class Scene:
         return scene
 
     # ------------------------------------------------------------------
+    # Reference-format .oct interop (native extension)
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_oct(cls, path: Union[str, Path]) -> "Scene":
+        """Load a cache written by the reference renderer (.oct binary,
+        reference Octreegrid.h:82-114) via the native extension."""
+        from rtnr_tpu.data import native
+
+        if not native.available() and not native.build():
+            raise RuntimeError("Native ingest library unavailable; run cpp/build.sh")
+        got = native.read_oct(path)
+        if got is None:
+            raise ValueError(f"Failed to read .oct cache: {path}")
+        pts, cols, keys, nb = got
+        # Reconstruct the AABB the keys were built against: blocks are
+        # 0.25 m (reference cloudreader.cpp:10) over a meter-rounded box.
+        bb_min = np.floor(pts.min(axis=0)).astype(np.float32) if len(pts) else np.zeros(3, np.float32)
+        bb_max = bb_min + np.asarray(nb, np.float32) * np.float32(RenderConfig.block_size_m)
+        return cls(
+            points=pts, colors=cols, block_keys=keys, num_blocks=nb,
+            bb_min=bb_min, bb_max=bb_max,
+        )
+
+    def save_oct(self, path: Union[str, Path]) -> bool:
+        """Write this scene as a reference-compatible .oct cache."""
+        from rtnr_tpu.data import native
+
+        if not native.available() and not native.build():
+            return False
+        return native.write_oct(path, self)
+
+    # ------------------------------------------------------------------
     # Grid utilities
     # ------------------------------------------------------------------
     def decode_key(self, key: np.ndarray) -> np.ndarray:
