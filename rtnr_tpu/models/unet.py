@@ -29,10 +29,15 @@ from flax import linen as nn
 
 
 class DoubleConv(nn.Module):
-    """(Conv3x3 no-bias -> BatchNorm -> ReLU) x 2 (reference model.py:5-19)."""
+    """(Conv3x3 no-bias -> BatchNorm -> ReLU) x 2 (reference model.py:5-19).
+
+    With ``fold_bn=True`` the BN is assumed pre-folded into the conv
+    (rtnr_tpu.models.fold_bn): conv carries a bias and no BN runs —
+    the fast inference configuration."""
 
     features: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -42,17 +47,18 @@ class DoubleConv(nn.Module):
                 kernel_size=(3, 3),
                 strides=(1, 1),
                 padding=((1, 1), (1, 1)),
-                use_bias=False,
+                use_bias=self.fold_bn,
                 dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,  # torch BatchNorm2d momentum=0.1 convention
-                epsilon=1e-5,
-                dtype=self.dtype,
-                name=f"bn{i}",
-            )(x)
+            if not self.fold_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,  # torch BatchNorm2d momentum=0.1 convention
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    name=f"bn{i}",
+                )(x)
             x = nn.relu(x)
         return x
 
@@ -63,17 +69,18 @@ class UNet(nn.Module):
     features: Sequence[int] = (64, 128, 256, 512)
     out_channels: int = 3
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = x.astype(self.dtype)
         skips = []
         for i, f in enumerate(self.features):
-            x = DoubleConv(f, dtype=self.dtype, name=f"down{i}")(x, train)
+            x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn, name=f"down{i}")(x, train)
             skips.append(x)
             x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
-        x = DoubleConv(self.features[-1] * 2, dtype=self.dtype, name="bottleneck")(x, train)
+        x = DoubleConv(self.features[-1] * 2, dtype=self.dtype, fold_bn=self.fold_bn, name="bottleneck")(x, train)
 
         for i, f in enumerate(reversed(self.features)):
             x = nn.ConvTranspose(
@@ -90,7 +97,7 @@ class UNet(nn.Module):
                     x, (x.shape[0], skip.shape[1], skip.shape[2], x.shape[3]), "bilinear"
                 )
             x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
-            x = DoubleConv(f, dtype=self.dtype, name=f"updc{i}")(x, train)
+            x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn, name=f"updc{i}")(x, train)
 
         return nn.Conv(
             self.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="final_conv"
