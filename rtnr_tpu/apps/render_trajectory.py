@@ -86,28 +86,68 @@ def main(argv=None) -> int:
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
 
-    stage_fn = {
-        "project": renderer.compute_rgbd,
-        "filtered": renderer.compute_filtered_rgbd,
-        "full": renderer.compute_full,
-    }[args.stage]
+    def frame_name(i: int) -> str:
+        name = trajectory[i].filename
+        return name if name.endswith(".png") else name + ".png"
+
+    def write_depth(name: str, d: np.ndarray) -> None:
+        occ = (d > 0) & (d < 3e38)
+        dn = np.zeros_like(d)
+        if occ.any():
+            lo, hi = d[occ].min(), d[occ].max()
+            dn[occ] = (d[occ] - lo) / max(hi - lo, 1e-9) * 255.0
+        write_png(outdir / name.replace(".png", "_depth.png"), dn.astype(np.uint8))
 
     t_start = time.perf_counter()
-    for i in range(len(trajectory)):
-        out = stage_fn(camera, trajectory.world_to_cam(i))
-        name = trajectory[i].filename
-        if not name.endswith(".png"):
-            name += ".png"
-        write_png(outdir / name, out["rgb"])
-        if args.depth:
-            d = np.asarray(out["depth"])
-            occ = (d > 0) & (d < 3e38)
-            dn = np.zeros_like(d)
-            if occ.any():
-                lo, hi = d[occ].min(), d[occ].max()
-                dn[occ] = (d[occ] - lo) / max(hi - lo, 1e-9) * 255.0
-            write_png(outdir / name.replace(".png", "_depth.png"), dn.astype(np.uint8))
-        print(f"[{i + 1}/{len(trajectory)}] {name}  {renderer.last_timings}")
+    if args.batch > 0:
+        # Batched path: frames data-parallel over the device mesh
+        # (replaces the reference's serial per-frame loop, main.cpp:92-100).
+        from rtnr_tpu.parallel import make_mesh, render_filtered_sharded, render_full_batch
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh((n_dev, 1))
+        pts, cols, validm = renderer.points, renderer.colors, renderer.valid
+        n_frames = len(trajectory)
+        bs = max(args.batch, n_dev)
+        bs -= bs % n_dev  # divisible by the batch axis
+        for s0 in range(0, n_frames, bs):
+            idxs = list(range(s0, min(s0 + bs, n_frames)))
+            pad = bs - len(idxs)
+            Ms = np.stack(
+                [camera.cam_proj(trajectory.world_to_cam(i)) for i in idxs]
+                + [camera.cam_proj(trajectory.world_to_cam(idxs[-1]))] * pad
+            ).astype(np.float32)
+            if args.stage == "full":
+                out = render_full_batch(
+                    pts, cols, validm, jnp.asarray(Ms), mesh, renderer.unet,
+                    renderer.unet_variables, width=camera.width, height=camera.height,
+                )
+                rgbs = np.asarray(out["rgb_unet"])
+            else:
+                out = render_filtered_sharded(
+                    pts, cols, validm, jnp.asarray(Ms), mesh,
+                    width=camera.width, height=camera.height,
+                )
+                key = "raw_rgb" if args.stage == "project" else "rgb"
+                rgbs = np.asarray(out[key])
+            depths = np.asarray(out["raw_depth"] if args.stage == "project" else out["depth"])
+            for j, i in enumerate(idxs):
+                write_png(outdir / frame_name(i), rgbs[j])
+                if args.depth:
+                    write_depth(frame_name(i), depths[j])
+            print(f"[{idxs[-1] + 1}/{n_frames}] batch of {len(idxs)} frames")
+    else:
+        stage_fn = {
+            "project": renderer.compute_rgbd,
+            "filtered": renderer.compute_filtered_rgbd,
+            "full": renderer.compute_full,
+        }[args.stage]
+        for i in range(len(trajectory)):
+            out = stage_fn(camera, trajectory.world_to_cam(i))
+            write_png(outdir / frame_name(i), out["rgb"])
+            if args.depth:
+                write_depth(frame_name(i), np.asarray(out["depth"]))
+            print(f"[{i + 1}/{len(trajectory)}] {frame_name(i)}  {renderer.last_timings}")
     total = time.perf_counter() - t_start
     fps = len(trajectory) / total if total > 0 else 0.0
     print(json.dumps({"frames": len(trajectory), "seconds": round(total, 3),

@@ -15,23 +15,31 @@ Semantics reproduced from the reference CUDA kernels
 - ``resolvePass`` (render.cu:132-163): RGB = integer-division sum/count;
   black where count == 0.
 
-TPU-first redesign (NOT a translation): TPUs have no global atomics and XLA
-serializes scattered conflicts, so the atomic z-buffer becomes a **sort-based
-segment reduction**:
+TPU-first redesign (NOT a translation). TPUs have neither global atomics
+nor gather/scatter hardware — measured on v5e, a 5M-element ``jnp.take`` or
+``.at[].set`` runs ~100 ns/element (serialized), while ``jax.lax.sort`` of
+5-7M int32 elements runs in tens of milliseconds. So the raster uses sorts
+for *everything*, including writing the dense images:
 
-1. compute per-point pixel ids,
-2. lexicographic sort by (pixel id, depth) — one `jax.lax.sort` with
-   num_keys=2, the only O(N log N) step and XLA's sort is highly tuned,
-3. per-pixel min depth = depth at each segment head (sorted ascending),
-4. the 2 cm accumulation band is evaluated against the segment-head depth,
-5. per-segment color sums via cumulative-sum differences,
-6. one scatter **with unique indices** per image (segment heads for the
-   depth map, segment tails for the color sums) — unique-index scatters
-   need no conflict resolution and lower to fast code on TPU.
+1. **Carrier augmentation**: one sentinel entry per output pixel (depth =
+   FLT_MAX bits, color 0) joins the point stream, guaranteeing every pixel
+   a nonempty segment — empty-pixel defaults fall out of the same math.
+2. **Sort 1** over (pixel id, depth bits): integer-only lexicographic sort
+   (depth as its f32 bit pattern — the reference's own atomicMin-on-bits
+   ordering trick, render.cu:72-81); colors + realness pack into one lane.
+3. Segment logic is scan/shift only: head depth broadcasts by a segmented
+   Hillis-Steele scan; the 2 cm band admits a *prefix* of each segment
+   (depth ascends), closed by cumulative-sum differences against the head's
+   prefix — no index gathers anywhere.
+4. **Sort 2 (placement)**: exactly one "winner" element per pixel carries
+   the finished (sums, count, depth) row; sorting winners by pixel id and
+   slicing the first H*W rows *is* the dense image — scatter-free image
+   materialization.
 
 Everything is shape-static and jit/vmap/shard_map friendly. The same
-primitive decomposes for multi-chip rendering: per-shard head-scatters merge
-with `pmin`, per-shard partial sums with `psum` (see rtnr_tpu/parallel).
+primitive decomposes for multi-chip rendering: per-shard min-depth images
+merge with `pmin`, per-shard partial sums with `psum`
+(see rtnr_tpu/parallel).
 """
 
 from __future__ import annotations
@@ -45,6 +53,7 @@ import jax.numpy as jnp
 from rtnr_tpu.config import DEPTH_EMPTY
 
 _INT32_MAX = jnp.iinfo(jnp.int32).max
+_REAL_BIT = 1 << 24  # realness flag packed above the 3x8bit color lanes
 
 
 def project_points(
@@ -87,6 +96,267 @@ def _shift_left(x: jax.Array, fill) -> jax.Array:
     return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
 
 
+class SortedPoints(NamedTuple):
+    """Point+carrier stream sorted by (pixel id, depth) + segment metadata.
+
+    With carriers (the default), every pixel in [0, H*W) owns a nonempty
+    segment whose trailing element is its carrier (depth FLT_MAX, color 0,
+    not real). Culled points sort to the sentinel tail segment.
+    """
+
+    pix: jax.Array  # (M,) int32, sorted; sentinel H*W for culled points
+    z: jax.Array  # (M,) f32, ascending within a pixel segment
+    rgb: jax.Array  # (M, 3) int32 (0 for carriers)
+    ok: jax.Array  # (M,) bool — pix < H*W
+    is_real: jax.Array  # (M,) bool — actual point, not a carrier
+    is_head: jax.Array  # (M,) bool — first element of its pixel segment
+    is_last: jax.Array  # (M,) bool — last element of its pixel segment
+    head_pos: jax.Array  # (M,) int32 — index of the segment head
+
+
+def project_and_sort(
+    points: jax.Array,
+    colors: jax.Array,
+    cam_proj: jax.Array,
+    *,
+    width: int,
+    height: int,
+    valid: Optional[jax.Array] = None,
+    carriers: bool = True,
+) -> SortedPoints:
+    """Project points and sort (with per-pixel carriers) by (pixel, depth)."""
+    hw = width * height
+    u, v, z = project_points(points, cam_proj.astype(jnp.float32))
+    pix, ok = _pixel_ids(u, v, z, valid, width, height)
+    zs = jnp.where(ok, z, jnp.float32(jnp.inf))
+
+    # Integer-only sort: depth as its float bit pattern (order-preserving
+    # for positive values), colors + realness packed into one lane.
+    z_bits = jax.lax.bitcast_convert_type(zs, jnp.int32)
+    cols = colors.astype(jnp.int32)
+    packed = cols[:, 0] | (cols[:, 1] << 8) | (cols[:, 2] << 16) | jnp.int32(_REAL_BIT)
+
+    if carriers:
+        carrier_pix = jnp.arange(hw, dtype=jnp.int32)
+        carrier_z = jnp.full((hw,), jnp.float32(DEPTH_EMPTY))
+        pix = jnp.concatenate([pix, carrier_pix])
+        z_bits = jnp.concatenate(
+            [z_bits, jax.lax.bitcast_convert_type(carrier_z, jnp.int32)]
+        )
+        packed = jnp.concatenate([packed, jnp.zeros((hw,), jnp.int32)])
+
+    pix_s, zb_s, packed_s = jax.lax.sort((pix, z_bits, packed), num_keys=2)
+    z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
+    rgb_s = jnp.stack(
+        [packed_s & 255, (packed_s >> 8) & 255, (packed_s >> 16) & 255], axis=1
+    )
+
+    m = pix_s.shape[0]
+    ok_s = pix_s < hw
+    idx = jnp.arange(m, dtype=jnp.int32)
+    is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
+    is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
+    head_pos = jax.lax.cummax(jnp.where(is_head, idx, jnp.int32(0)))
+    return SortedPoints(
+        pix=pix_s,
+        z=z_s,
+        rgb=rgb_s,
+        ok=ok_s,
+        is_real=(packed_s & _REAL_BIT) != 0,
+        is_head=is_head,
+        is_last=is_last,
+        head_pos=head_pos,
+    )
+
+
+def segment_broadcast_head(values: jax.Array, is_head: jax.Array) -> jax.Array:
+    """Propagate each segment head's value (1D or rows of a 2D array) to all
+    segment elements.
+
+    Gather-free: Hillis-Steele segmented inclusive scan, log2(N) fused
+    elementwise steps. Boundary fill flag=False is safe because element 0 is
+    always a segment head in sorted pixel order.
+    """
+    n = values.shape[0]
+    v = values
+    f = is_head
+    fsel = f if v.ndim == 1 else f[:, None]
+    shift = 1
+    while shift < n:
+        v_prev = jnp.concatenate([v[:shift], v[:-shift]], axis=0)
+        f_prev = jnp.concatenate([jnp.zeros((shift,), bool), f[:-shift]])
+        v = jnp.where(fsel, v, v_prev)
+        f = f | f_prev
+        fsel = f if v.ndim == 1 else f[:, None]
+        shift *= 2
+    return v
+
+
+def _shift_rows_right(x: jax.Array) -> jax.Array:
+    """Row i -> row i-1's value; row 0 -> zeros. (2D, axis 0.)"""
+    return jnp.concatenate([jnp.zeros((1, x.shape[1]), x.dtype), x[:-1]], axis=0)
+
+
+def place_rows_by_pixel(
+    key: jax.Array, rows: Tuple[jax.Array, ...], hw: int
+) -> Tuple[jax.Array, ...]:
+    """Scatter-free dense-image materialization: sort rows by pixel key and
+    take the first H*W — valid when exactly one row per pixel carries a key
+    < H*W (carriers guarantee this). Non-winner rows carry key >= H*W."""
+    out = jax.lax.sort((key,) + tuple(rows), num_keys=1)
+    return tuple(o[:hw] for o in out[1:])
+
+
+def band_winners(sp: SortedPoints, depth_band: float):
+    """Per-element band logic + the per-segment winner ("band end") carrying
+    the finished pixel row. Returns (band_end mask, sums4 rows (M,4) int32,
+    head-depth bits (M,) int32)."""
+    z_head = segment_broadcast_head(sp.z, sp.is_head)
+    # Band (reference render.cu:106): keep iff NOT (depth > min + 0.02f);
+    # carriers carry FLT_MAX and are only in-band when they head an empty
+    # pixel (FLT_MAX + 0.02f == FLT_MAX in f32).
+    in_band = sp.ok & ~(sp.z > z_head + jnp.float32(depth_band))
+    next_in = jnp.concatenate([in_band[1:], jnp.array([False])])
+    band_end = in_band & (sp.is_last | ~next_in)
+
+    real = sp.is_real.astype(jnp.int32)
+    contrib4 = jnp.concatenate([sp.rgb * real[:, None], real[:, None]], axis=1)
+    csum4 = jnp.cumsum(contrib4, axis=0, dtype=jnp.int32)
+    prev4 = _shift_rows_right(csum4)
+    z_bits = jax.lax.bitcast_convert_type(sp.z, jnp.int32)
+    # One fused 5-lane broadcast from segment heads: the head's preceding
+    # prefix sums + the head's own depth bits.
+    head_info = segment_broadcast_head(
+        jnp.concatenate([prev4, z_bits[:, None]], axis=1), sp.is_head
+    )
+    sums4 = csum4 - head_info[:, :4]  # at band_end: in-band prefix totals
+    return band_end, sums4, head_info[:, 4]
+
+
+def raster_images(
+    sp: SortedPoints, hw: int, depth_band: float
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Dense (sums (HW,3) int32, count (HW,) int32, depth (HW,) f32) via the
+    placement sort. Requires carriers in ``sp``."""
+    band_end, sums4, zhead_bits = band_winners(sp, depth_band)
+    key = jnp.where(band_end, sp.pix, jnp.int32(hw))
+    r, g, b, cnt, zb = place_rows_by_pixel(
+        key, (sums4[:, 0], sums4[:, 1], sums4[:, 2], sums4[:, 3], zhead_bits), hw
+    )
+    sums = jnp.stack([r, g, b], axis=1)
+    depth = jax.lax.bitcast_convert_type(zb, jnp.float32)
+    return sums, cnt, depth
+
+
+def min_depth_image(sp: SortedPoints, hw: int) -> jax.Array:
+    """(HW,) min-depth image (FLT_MAX empty) via placement sort.
+
+    The head of each pixel segment holds its minimum depth (carriers supply
+    the FLT_MAX default for empty pixels) — the TPU replacement for the
+    reference's atomicMin z-buffer (render.cu:81)."""
+    key = jnp.where(sp.is_head & (sp.pix < hw), sp.pix, jnp.int32(hw))
+    z_bits = jax.lax.bitcast_convert_type(sp.z, jnp.int32)
+    (zb,) = place_rows_by_pixel(key, (z_bits,), hw)
+    return jax.lax.bitcast_convert_type(zb, jnp.float32)
+
+
+def gather_image_sorted(img: jax.Array, pix_s: jax.Array, hw: int) -> jax.Array:
+    """Gather-free ``img[pix_s]`` for *sorted* pixel ids, via sort-merge.
+
+    Interleaves one carrier per pixel (holding the image value) with the
+    id stream, sorts by (pixel, carrier-first), scan-broadcasts the carrier
+    value across each segment, then un-sorts by original rank with another
+    placement sort. Only sorts + scans — no scatter/gather primitives.
+    """
+    n = pix_s.shape[0]
+    img_bits = (
+        jax.lax.bitcast_convert_type(img, jnp.int32)
+        if img.dtype == jnp.float32
+        else img.astype(jnp.int32)
+    )
+    keys1 = jnp.concatenate([jnp.arange(hw, dtype=jnp.int32), pix_s])
+    keys2 = jnp.concatenate([jnp.zeros((hw,), jnp.int32), jnp.ones((n,), jnp.int32)])
+    payload = jnp.concatenate([img_bits, jnp.zeros((n,), jnp.int32)])
+    rank = jnp.concatenate(
+        [jnp.full((hw,), n, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
+    )
+    k1, _, pay, rk = jax.lax.sort((keys1, keys2, payload, rank), num_keys=2)
+    is_head = k1 != _shift_right(k1, jnp.int32(-1))  # carriers sort first
+    val = segment_broadcast_head(pay, is_head)
+    # un-sort: placement by original rank; carriers (rank n) drop off the end
+    vals_sorted = jax.lax.sort((rk, val), num_keys=1)[1][:n]
+    if img.dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(vals_sorted, jnp.float32)
+    return vals_sorted.astype(img.dtype)
+
+
+def accumulate_sums(
+    sp: SortedPoints, min_depth: Optional[jax.Array], hw: int, depth_band: float
+) -> jax.Array:
+    """Band-filtered per-pixel color sums + counts -> (HW, 4) int32.
+
+    ``min_depth=None`` tests the band against the local segment-head depth
+    (single-chip path); otherwise against the supplied (e.g. globally
+    pmin-merged) image — matching the reference's two-pass structure where
+    accumulation reads the *final* z-buffer (render.cu:101-106). Either way
+    the band admits a *prefix* of each locally-sorted segment (every local
+    depth >= its pixel's global min), closed by cumsum differences.
+    """
+    if min_depth is None:
+        sums, cnt, _ = raster_images(sp, hw, depth_band)
+        return jnp.concatenate([sums, cnt[:, None]], axis=1)
+
+    min_d = gather_image_sorted(min_depth, sp.pix, hw)
+    in_band = sp.ok & ~(sp.z > min_d + jnp.float32(depth_band))
+    next_in = jnp.concatenate([in_band[1:], jnp.array([False])])
+    band_end = in_band & (sp.is_last | ~next_in)
+    # Exactly-one-winner per pixel per shard: if the whole local segment is
+    # out of the *global* band (its head isn't in band — in-band is a
+    # prefix), no band_end fires; the carrier (segment tail, zero
+    # contribution) wins instead so the placement slice stays aligned and
+    # psum merges a zero row from this shard.
+    carrier = ~sp.is_real & sp.ok
+    head_in_band = segment_broadcast_head(in_band, sp.is_head)
+    winner = band_end | (carrier & ~head_in_band)
+
+    w = (in_band & sp.is_real).astype(jnp.int32)
+    contrib4 = jnp.concatenate([sp.rgb * w[:, None], w[:, None]], axis=1)
+    csum4 = jnp.cumsum(contrib4, axis=0, dtype=jnp.int32)
+    prev4 = _shift_rows_right(csum4)
+    head_prev4 = segment_broadcast_head(prev4, sp.is_head)
+    sums4 = csum4 - head_prev4
+
+    key = jnp.where(winner, sp.pix, jnp.int32(hw))
+    r, g, b, cnt = place_rows_by_pixel(
+        key, (sums4[:, 0], sums4[:, 1], sums4[:, 2], sums4[:, 3]), hw
+    )
+    return jnp.stack([r, g, b, cnt], axis=1)
+
+
+def _raster_sums(
+    points: jax.Array,
+    colors: jax.Array,
+    cam_proj: jax.Array,
+    *,
+    width: int,
+    height: int,
+    valid: Optional[jax.Array],
+    depth_band: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort-based core: per-pixel (color sums int32 (HW,3), count int32 (HW,),
+    min-depth f32 (HW,))."""
+    hw = width * height
+    sp = project_and_sort(points, colors, cam_proj, width=width, height=height, valid=valid)
+    return raster_images(sp, hw, depth_band)
+
+
+def resolve_uint8(sum_img: jax.Array, cnt_img: jax.Array) -> jax.Array:
+    """Integer-average resolve (reference render.cu:145-162)."""
+    cnt = jnp.maximum(cnt_img, 1)[:, None]
+    rgb = (sum_img // cnt).astype(jnp.uint8)
+    return jnp.where(cnt_img[:, None] > 0, rgb, jnp.uint8(0))
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def rasterize(
     points: jax.Array,
@@ -111,135 +381,6 @@ def rasterize(
     return rgb.reshape(height, width, 3), depth_img.reshape(height, width)
 
 
-def resolve_uint8(sum_img: jax.Array, cnt_img: jax.Array) -> jax.Array:
-    """Integer-average resolve (reference render.cu:145-162)."""
-    cnt = jnp.maximum(cnt_img, 1)[:, None]
-    rgb = (sum_img // cnt).astype(jnp.uint8)
-    return jnp.where(cnt_img[:, None] > 0, rgb, jnp.uint8(0))
-
-
-class SortedPoints(NamedTuple):
-    """Points sorted by (pixel id, depth) + segment metadata.
-
-    The reusable intermediate of the sort-based raster: the single-chip path
-    consumes it directly; the sharded path computes it per point shard, merges
-    head depths with `pmin`, then reuses it for the partial-sum pass.
-    """
-
-    pix: jax.Array  # (N,) int32, sorted; sentinel H*W for culled points
-    z: jax.Array  # (N,) f32, ascending within a pixel segment
-    rgb: jax.Array  # (N, 3) int32
-    ok: jax.Array  # (N,) bool — pix < H*W
-    is_head: jax.Array  # (N,) bool — first point of its pixel segment
-    is_last: jax.Array  # (N,) bool — last point of its pixel segment
-    head_pos: jax.Array  # (N,) int32 — index of the segment head
-
-
-def project_and_sort(
-    points: jax.Array,
-    colors: jax.Array,
-    cam_proj: jax.Array,
-    *,
-    width: int,
-    height: int,
-    valid: Optional[jax.Array] = None,
-) -> SortedPoints:
-    """Project points and sort by (pixel id, depth)."""
-    n = points.shape[0]
-    hw = width * height
-    u, v, z = project_points(points, cam_proj.astype(jnp.float32))
-    pix, ok = _pixel_ids(u, v, z, valid, width, height)
-    zs = jnp.where(ok, z, jnp.float32(jnp.inf))
-
-    cols = colors.astype(jnp.int32)
-    pix_s, z_s, r_s, g_s, b_s = jax.lax.sort(
-        (pix, zs, cols[:, 0], cols[:, 1], cols[:, 2]), num_keys=2
-    )
-    ok_s = pix_s < hw
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
-    is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
-    head_pos = jax.lax.cummax(jnp.where(is_head, idx, jnp.int32(0)))
-    return SortedPoints(
-        pix=pix_s,
-        z=z_s,
-        rgb=jnp.stack([r_s, g_s, b_s], axis=1),
-        ok=ok_s,
-        is_head=is_head,
-        is_last=is_last,
-        head_pos=head_pos,
-    )
-
-
-def min_depth_image(sp: SortedPoints, hw: int) -> jax.Array:
-    """Scatter segment-head depths -> (HW,) min-depth image (FLT_MAX empty).
-
-    Segment heads have unique pixel ids, so this is a conflict-free scatter
-    (the TPU replacement for the reference's atomicMin, render.cu:81).
-    """
-    head_ids = jnp.where(sp.ok & sp.is_head, sp.pix, jnp.int32(hw))
-    return (
-        jnp.full((hw,), DEPTH_EMPTY, jnp.float32)
-        .at[head_ids]
-        .set(sp.z, mode="drop", unique_indices=True)
-    )
-
-
-def accumulate_sums(
-    sp: SortedPoints, min_depth: Optional[jax.Array], hw: int, depth_band: float
-) -> jax.Array:
-    """Band-filtered per-pixel color sums + counts -> (HW, 4) int32.
-
-    ``min_depth=None`` uses the local segment-head depth (single-chip path);
-    otherwise band membership is tested against the supplied (e.g. globally
-    pmin-merged) min-depth image — matching the reference's two-pass
-    structure where accumulation reads the *final* z-buffer
-    (render.cu:101-106).
-    """
-    if min_depth is None:
-        min_d = jnp.take(sp.z, sp.head_pos)
-    else:
-        min_d = jnp.take(min_depth, jnp.minimum(sp.pix, hw - 1))
-    # Band (reference render.cu:106): keep iff NOT (depth > min + 0.02f).
-    in_band = sp.ok & ~(sp.z > min_d + jnp.float32(depth_band))
-
-    w = in_band.astype(jnp.int32)
-    contrib = jnp.concatenate([sp.rgb * w[:, None], w[:, None]], axis=1)  # (N, 4)
-    csum = jnp.cumsum(contrib, axis=0)
-    prev = jnp.where(
-        (sp.head_pos > 0)[:, None],
-        jnp.take(csum, jnp.maximum(sp.head_pos - 1, 0), axis=0),
-        0,
-    )
-    seg_total = csum - prev  # at segment-last positions: full segment sum
-
-    last_ids = jnp.where(sp.ok & sp.is_last, sp.pix, jnp.int32(hw))
-    return (
-        jnp.zeros((hw, 4), jnp.int32)
-        .at[last_ids]
-        .set(seg_total, mode="drop", unique_indices=True)
-    )
-
-
-def _raster_sums(
-    points: jax.Array,
-    colors: jax.Array,
-    cam_proj: jax.Array,
-    *,
-    width: int,
-    height: int,
-    valid: Optional[jax.Array],
-    depth_band: float,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Sort-based core: per-pixel (color sums int32 (HW,3), count int32 (HW,),
-    min-depth f32 (HW,))."""
-    hw = width * height
-    sp = project_and_sort(points, colors, cam_proj, width=width, height=height, valid=valid)
-    depth_img = min_depth_image(sp, hw)
-    sums4 = accumulate_sums(sp, None, hw, depth_band)
-    return sums4[:, :3], sums4[:, 3], depth_img
-
-
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def rasterize_scatter(
     points: jax.Array,
@@ -255,8 +396,8 @@ def rasterize_scatter(
 
     A direct XLA `.at[].min` / `.at[].add` formulation — the straightforward
     mapping of the CUDA atomics. Kept as an on-device cross-check and a
-    benchmark foil for the sort-based version (XLA serializes conflicting
-    scatters, so this is usually slower at scale).
+    benchmark foil for the sort-based version (XLA lowers large scatters to
+    ~per-element serial loops on TPU, so this is far slower at scale).
     """
     hw = width * height
     u, v, z = project_points(points, cam_proj.astype(jnp.float32))

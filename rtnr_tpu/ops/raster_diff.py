@@ -35,7 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from rtnr_tpu.config import DEPTH_EMPTY
-from rtnr_tpu.ops.raster import _pixel_ids, _shift_left, _shift_right, project_points
+from rtnr_tpu.ops.raster import (
+    _pixel_ids,
+    _shift_left,
+    _shift_right,
+    project_points,
+    segment_broadcast_head,
+)
 
 
 class DiffRaster(NamedTuple):
@@ -76,44 +82,51 @@ def rasterize_diff(
 
     perm = _sort_permutation(pix, jax.lax.stop_gradient(z), n)
     pix_s = jnp.take(pix, perm)
-    z_s = jnp.take(z, perm)  # differentiable gather
+    z_s = jnp.take(z, perm)  # differentiable gather (sort permutation)
     rgb_s = jnp.take(colors.astype(jnp.float32), perm, axis=0)
     ok_s = pix_s < hw
 
     idx = jnp.arange(n, dtype=jnp.int32)
     is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
     is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
-    head_pos = jax.lax.cummax(jnp.where(is_head, idx, jnp.int32(0)))
-    min_d = jnp.take(z_s, head_pos)
+    # Gather-free head-depth broadcast (see ops/raster.py raster_images).
+    min_d = segment_broadcast_head(jax.lax.stop_gradient(z_s), is_head)
 
     # Band membership: straight-through (piecewise constant in inputs).
+    # Within a segment the band admits a prefix (depth ascends).
     in_band = jax.lax.stop_gradient(ok_s & ~(z_s > min_d + jnp.float32(depth_band)))
+    next_in = jnp.concatenate([in_band[1:], jnp.array([False])])
+    band_end = in_band & (is_last | ~next_in)
 
-    w = in_band.astype(jnp.float32)[:, None]
-    csum_rgb = jnp.cumsum(rgb_s * w, axis=0)
-    csum_cnt = jnp.cumsum(w[:, 0])
-    prev_rgb = jnp.where(
-        (head_pos > 0)[:, None], jnp.take(csum_rgb, jnp.maximum(head_pos - 1, 0), axis=0), 0.0
-    )
-    prev_cnt = jnp.where(head_pos > 0, jnp.take(csum_cnt, jnp.maximum(head_pos - 1, 0)), 0.0)
-    seg_rgb = csum_rgb - prev_rgb
-    seg_cnt = csum_cnt - prev_cnt
+    csum_rgb = jnp.cumsum(rgb_s, axis=0)  # raw prefix sums; banded by cut point
+    prev_rgb = jnp.concatenate([jnp.zeros((1, 3), jnp.float32), csum_rgb[:-1]], axis=0)
 
     drop = jnp.int32(hw)
-    last_ids = jnp.where(ok_s & is_last, pix_s, drop)
+    end_ids = jnp.where(band_end, pix_s, drop)
     head_ids = jnp.where(ok_s & is_head, pix_s, drop)
 
-    sum_img = (
+    end_img = (
         jnp.zeros((hw, 3), jnp.float32)
-        .at[last_ids]
-        .set(seg_rgb, mode="drop", unique_indices=True)
+        .at[end_ids]
+        .set(csum_rgb, mode="drop", unique_indices=True)
     )
-    cnt_img = (
-        jnp.zeros((hw,), jnp.float32)
-        .at[last_ids]
-        .set(seg_cnt, mode="drop", unique_indices=True)
+    start_img = (
+        jnp.zeros((hw, 3), jnp.float32)
+        .at[head_ids]
+        .set(prev_rgb, mode="drop", unique_indices=True)
     )
-    cnt_img = jax.lax.stop_gradient(cnt_img)
+    sum_img = end_img - start_img
+    cnt_end = (
+        jnp.zeros((hw,), jnp.int32)
+        .at[end_ids]
+        .set(idx + 1, mode="drop", unique_indices=True)
+    )
+    cnt_head = (
+        jnp.zeros((hw,), jnp.int32)
+        .at[head_ids]
+        .set(idx, mode="drop", unique_indices=True)
+    )
+    cnt_img = (cnt_end - cnt_head).astype(jnp.float32)
     depth_img = (
         jnp.full((hw,), DEPTH_EMPTY, jnp.float32)
         .at[head_ids]
