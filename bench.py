@@ -38,8 +38,11 @@ def main() -> None:
     )
     pts, cols, valid = scene.sorted_by_block().device_arrays(1024)
 
-    unet = UNet(features=features, dtype=jnp.bfloat16)
-    _, variables = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+
+    unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True)
+    _, raw_variables = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
+    variables = fold_batchnorm(raw_variables)
 
     points = jnp.asarray(pts)
     colors = jnp.asarray(cols)

@@ -169,25 +169,31 @@ def project_and_sort(
     )
 
 
-def segment_broadcast_head(values: jax.Array, is_head: jax.Array) -> jax.Array:
+def segment_broadcast_head(
+    values: jax.Array, is_head: jax.Array, head_pos: Optional[jax.Array] = None
+) -> jax.Array:
     """Propagate each segment head's value (1D or rows of a 2D array) to all
     segment elements.
 
-    Gather-free: Hillis-Steele segmented inclusive scan, log2(N) fused
-    elementwise steps. Boundary fill flag=False is safe because element 0 is
-    always a segment head in sorted pixel order.
+    Gather-free: Hillis-Steele segmented doubling, log2(N) fused elementwise
+    steps. With ``head_pos`` (index of each element's segment head — one
+    cheap cummax, usually already computed) the per-step "found" flag
+    becomes the static predicate ``idx - head_pos < 2^k``, halving scan
+    traffic. Invariant per step k: v[i] holds the original value at
+    ``max(head_pos[i], i - 2^k + 1)``.
     """
     n = values.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if head_pos is None:
+        head_pos = jax.lax.cummax(jnp.where(is_head, idx, jnp.int32(0)))
+    dist = idx - head_pos
     v = values
-    f = is_head
-    fsel = f if v.ndim == 1 else f[:, None]
     shift = 1
     while shift < n:
+        at_head = dist < shift
+        sel = at_head if v.ndim == 1 else at_head[:, None]
         v_prev = jnp.concatenate([v[:shift], v[:-shift]], axis=0)
-        f_prev = jnp.concatenate([jnp.zeros((shift,), bool), f[:-shift]])
-        v = jnp.where(fsel, v, v_prev)
-        f = f | f_prev
-        fsel = f if v.ndim == 1 else f[:, None]
+        v = jnp.where(sel, v, v_prev)
         shift *= 2
     return v
 
@@ -211,7 +217,7 @@ def band_winners(sp: SortedPoints, depth_band: float):
     """Per-element band logic + the per-segment winner ("band end") carrying
     the finished pixel row. Returns (band_end mask, sums4 rows (M,4) int32,
     head-depth bits (M,) int32)."""
-    z_head = segment_broadcast_head(sp.z, sp.is_head)
+    z_head = segment_broadcast_head(sp.z, sp.is_head, sp.head_pos)
     # Band (reference render.cu:106): keep iff NOT (depth > min + 0.02f);
     # carriers carry FLT_MAX and are only in-band when they head an empty
     # pixel (FLT_MAX + 0.02f == FLT_MAX in f32).
@@ -227,7 +233,7 @@ def band_winners(sp: SortedPoints, depth_band: float):
     # One fused 5-lane broadcast from segment heads: the head's preceding
     # prefix sums + the head's own depth bits.
     head_info = segment_broadcast_head(
-        jnp.concatenate([prev4, z_bits[:, None]], axis=1), sp.is_head
+        jnp.concatenate([prev4, z_bits[:, None]], axis=1), sp.is_head, sp.head_pos
     )
     sums4 = csum4 - head_info[:, :4]  # at band_end: in-band prefix totals
     return band_end, sums4, head_info[:, 4]
@@ -316,14 +322,14 @@ def accumulate_sums(
     # contribution) wins instead so the placement slice stays aligned and
     # psum merges a zero row from this shard.
     carrier = ~sp.is_real & sp.ok
-    head_in_band = segment_broadcast_head(in_band, sp.is_head)
+    head_in_band = segment_broadcast_head(in_band, sp.is_head, sp.head_pos)
     winner = band_end | (carrier & ~head_in_band)
 
     w = (in_band & sp.is_real).astype(jnp.int32)
     contrib4 = jnp.concatenate([sp.rgb * w[:, None], w[:, None]], axis=1)
     csum4 = jnp.cumsum(contrib4, axis=0, dtype=jnp.int32)
     prev4 = _shift_rows_right(csum4)
-    head_prev4 = segment_broadcast_head(prev4, sp.is_head)
+    head_prev4 = segment_broadcast_head(prev4, sp.is_head, sp.head_pos)
     sums4 = csum4 - head_prev4
 
     key = jnp.where(winner, sp.pix, jnp.int32(hw))
