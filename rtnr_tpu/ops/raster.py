@@ -353,6 +353,10 @@ def _raster_sums(
     min-depth f32 (HW,))."""
     hw = width * height
     sp = project_and_sort(points, colors, cam_proj, width=width, height=height, valid=valid)
+    if sp.pix.shape[0] >= (1 << 17):
+        from rtnr_tpu.ops.raster_partitioned import raster_images_partitioned
+
+        return raster_images_partitioned(sp, hw, depth_band)
     return raster_images(sp, hw, depth_band)
 
 

@@ -1,0 +1,68 @@
+"""Tile-sharded raster: bit-identical to single-device, incl. tiles x points."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rtnr_tpu.camera import Camera
+from rtnr_tpu.ops.raster import rasterize
+from rtnr_tpu.parallel.mesh import make_mesh
+from rtnr_tpu.parallel.tiles import rasterize_tile_sharded, strip_projection
+from rtnr_tpu.scene import Scene
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = Scene.synthetic(30_000, seed=0, extent=8.0)
+    cam = Camera.from_params(60, 60, 32, 32, 64, 64)
+    E = np.eye(4)
+    E[2, 3] = 10.0
+    pts, cols, valid = scene.sorted_by_block().device_arrays(pad_to_multiple=8 * 8)
+    M = jnp.asarray(cam.cam_proj(E), jnp.float32)
+    return jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), M, cam
+
+
+def test_strip_projection_math(setup):
+    pts, cols, valid, M, cam = setup
+    # a point that lands at v=40 in the full image lands at v=8 in strip 2 of
+    # strip_h=16
+    from rtnr_tpu.ops.raster import project_points
+
+    u, v, z = project_points(pts, M)
+    Ms = strip_projection(M, jnp.int32(2), 16)
+    u2, v2, z2 = project_points(pts, Ms)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2), rtol=0)
+    ok = np.asarray(z) > 0
+    np.testing.assert_array_equal(np.asarray(v)[ok] - 32, np.asarray(v2)[ok])
+
+
+def test_tiles_only_matches_single(setup):
+    pts, cols, valid, M, cam = setup
+    mesh = make_mesh((8,), ("tiles",))
+    rgb_t, d_t = rasterize_tile_sharded(
+        pts, cols, valid, M, mesh, width=cam.width, height=cam.height,
+    )
+    rgb_1, d_1 = rasterize(pts, cols, M, width=cam.width, height=cam.height, valid=valid)
+    np.testing.assert_array_equal(np.asarray(d_t), np.asarray(d_1))
+    np.testing.assert_array_equal(np.asarray(rgb_t), np.asarray(rgb_1))
+
+
+def test_tiles_by_points_matches_single(setup):
+    pts, cols, valid, M, cam = setup
+    mesh = make_mesh((2, 4), ("tiles", "points"))
+    rgb_t, d_t = rasterize_tile_sharded(
+        pts, cols, valid, M, mesh, width=cam.width, height=cam.height,
+        points_axis="points",
+    )
+    rgb_1, d_1 = rasterize(pts, cols, M, width=cam.width, height=cam.height, valid=valid)
+    np.testing.assert_array_equal(np.asarray(d_t), np.asarray(d_1))
+    np.testing.assert_array_equal(np.asarray(rgb_t), np.asarray(rgb_1))
+
+
+def test_tiles_require_divisible_height(setup):
+    pts, cols, valid, M, cam = setup
+    mesh = make_mesh((8,), ("tiles",))
+    with pytest.raises(AssertionError, match="strips"):
+        rasterize_tile_sharded(pts, cols, valid, M, mesh, width=64, height=60)
