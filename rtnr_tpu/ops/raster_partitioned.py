@@ -87,7 +87,7 @@ def raster_images_partitioned(
     sp: SortedPoints,
     hw: int,
     depth_band: float,
-    part_size: int = 1 << 15,
+    part_size: int = 1 << 14,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense (sums (HW,3) int32, count (HW,) int32, depth (HW,) f32).
 

@@ -202,10 +202,19 @@ class Renderer:
         self.points = jnp.asarray(pts)
         self.colors = jnp.asarray(cols)
         self.valid = jnp.asarray(valid)
-        self.unet_variables = unet_variables
         dtype = jnp.bfloat16 if config.unet_dtype == "bf16" else jnp.float32
+        # Inference fast path: fold BatchNorm into the convs (see
+        # models/fold_bn.py) whenever the checkpoint still carries running
+        # stats — pure-win at inference, halving elementwise passes.
+        fold = unet_variables is not None and "batch_stats" in unet_variables
+        if fold:
+            from rtnr_tpu.models.fold_bn import fold_batchnorm
+
+            unet_variables = fold_batchnorm(unet_variables)
+        self.unet_variables = unet_variables
         self.unet = UNet(features=tuple(config.unet_features),
-                         out_channels=config.unet_out_channels, dtype=dtype)
+                         out_channels=config.unet_out_channels, dtype=dtype,
+                         fold_bn=unet_variables is not None)
         self._full_jit = jax.jit(
             functools.partial(self._full_impl),
             static_argnames=("width", "height"),
