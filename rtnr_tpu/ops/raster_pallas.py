@@ -15,9 +15,8 @@ ONE streaming pass over the sorted point+carrier stream:
   sub-chunk one-hot matmul on the MXU (bf16 one-hot x byte-split rows,
   exact) compacts winners, and a single dynamic-offset DMA per part writes
   the finished rows to the image in HBM;
-- output is channels-first (8, HW') so every in-kernel tensor keeps
-  elements on the lane axis (no transposes except two tiny per-sub-chunk
-  column reshapes).
+- the image is channels-first (8, HW') so every tensor keeps elements on
+  the 128-tiled lane axis and all dynamic stores/DMAs slice lanes.
 
 Bit-exact with raster.raster_images (asserted in interpret-mode tests).
 """
@@ -66,13 +65,13 @@ def _resolve_kernel(
     depth_band: float,
 ):
     p = pl.program_id(0)
-    L1 = L + 128  # owned lanes + halo (1 used) + pad
+    L1 = L + 1024  # owned lanes + halo (1 used) + pad; 1024-aligned for DMA tiling
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, L1), 1)
 
     # ---- load part [p*L, p*L + L + 1) + pad ----
-    cp = pltpu.make_async_copy(pix_hbm.at[pl.ds(p * L, L1)], pix_v.at[0, :], in_sem.at[0])
-    cz = pltpu.make_async_copy(zb_hbm.at[pl.ds(p * L, L1)], zb_v.at[0, :], in_sem.at[1])
-    ck = pltpu.make_async_copy(packed_hbm.at[pl.ds(p * L, L1)], packed_v.at[0, :], in_sem.at[2])
+    cp = pltpu.make_async_copy(pix_hbm.at[:, pl.ds(p * L, L1)], pix_v.at[:, :], in_sem.at[0])
+    cz = pltpu.make_async_copy(zb_hbm.at[:, pl.ds(p * L, L1)], zb_v.at[:, :], in_sem.at[1])
+    ck = pltpu.make_async_copy(packed_hbm.at[:, pl.ds(p * L, L1)], packed_v.at[:, :], in_sem.at[2])
     cp.start()
     cz.start()
     ck.start()
@@ -82,9 +81,7 @@ def _resolve_kernel(
         for i in range(12):
             carry[i] = 0
         carry[4] = -1  # open_pix: nothing open
-        carry[5] = jax.lax.bitcast_convert_type(
-            jnp.float32(DEPTH_EMPTY), jnp.int32
-        )  # open z_head default
+        carry[5] = 0x7F7FFFFF  # FLT_MAX bits: open z_head default
 
     cp.wait()
     cz.wait()
@@ -158,8 +155,9 @@ def _resolve_kernel(
     z = jax.lax.bitcast_convert_type(zb, jnp.float32)
     z_head = jax.lax.bitcast_convert_type(h_zb, jnp.float32)
     in_band = ok & jnp.logical_not(z > z_head + jnp.float32(depth_band))
-    # lane i receives former lane i+1 (roll right by L1-1 == left by 1)
-    next_in = _roll_r(in_band, L1 - 1)
+    # lane i receives former lane i+1 (roll right by L1-1 == left by 1);
+    # bool vectors can't rotate on TPU — roll as int32
+    next_in = _roll_r(in_band.astype(jnp.int32), L1 - 1) == 1
     next_pix = _roll_r(pix, L1 - 1)
     is_last = pix != next_pix
     winner = in_band & (is_last | jnp.logical_not(next_in)) & owned
@@ -214,16 +212,21 @@ def _resolve_kernel(
         out8 = jnp.stack(
             out_rows + [jnp.zeros_like(out_rows[0])] * 3, axis=0
         )  # (8, S)
-        part_out[pl.ds(0, 8), pl.ds(o_sub, S)] = out8
+        # VMEM vector stores demand 128-aligned dynamic lane offsets, but
+        # DMA offsets are unconstrained: stage the tile at offset 0 and DMA
+        # it straight to its global image range. Strict start+wait keeps
+        # the nondecreasing overlapping writes ordered (later sub-chunks
+        # overwrite the previous tile's garbage tail).
+        part_out[:, pl.ds(0, S)] = out8
+        carry[11] = o_part + o_sub
+        tile_dma = pltpu.make_async_copy(
+            part_out.at[:, pl.ds(0, S)],
+            img_hbm.at[:, pl.ds(carry[11], S)],
+            out_sem,
+        )
+        tile_dma.start()
+        tile_dma.wait()
         o_sub = o_sub + k_c
-
-    # ---- DMA the part's finished rows to the image ----
-    dma = pltpu.make_async_copy(
-        part_out.at[:, pl.ds(0, L)],
-        img_hbm.at[:, pl.ds(o_part, L)],
-        out_sem,
-    )
-    dma.start()
 
     # ---- update carries (scalars from the last owned lane) ----
     last = L - 1
@@ -238,8 +241,6 @@ def _resolve_kernel(
     carry[8] = h_pb[0, last]
     carry[9] = h_pn[0, last]
     carry[10] = o_part + o_sub
-
-    dma.wait()
 
 
 def raster_images_pallas(
@@ -258,7 +259,7 @@ def raster_images_pallas(
     S = sub_chunk
     assert L % S == 0
     P = -(-m // L)
-    pad = P * L + 128 - m  # + halo/pad region
+    pad = P * L + 1024 - m  # + halo/pad region (1024-aligned DMA slices)
 
     z_bits = jax.lax.bitcast_convert_type(sp.z, jnp.int32)
     packed = (
@@ -269,13 +270,13 @@ def raster_images_pallas(
     )
 
     def padit(x, fill):
-        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]).reshape(1, -1)
 
     pix_p = padit(sp.pix, jnp.int32(hw))  # sentinel: culled
     zb_p = padit(z_bits, jax.lax.bitcast_convert_type(jnp.float32(jnp.inf), jnp.int32))
     packed_p = padit(packed, jnp.int32(0))
 
-    out_w = hw + L + 128
+    out_w = hw + L + 1024
 
     img = pl.pallas_call(
         functools.partial(
@@ -290,10 +291,10 @@ def raster_images_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1, L + 128), jnp.int32),
-            pltpu.VMEM((1, L + 128), jnp.int32),
-            pltpu.VMEM((1, L + 128), jnp.int32),
-            pltpu.VMEM((8, L + S), jnp.int32),
+            pltpu.VMEM((1, L + 1024), jnp.int32),
+            pltpu.VMEM((1, L + 1024), jnp.int32),
+            pltpu.VMEM((1, L + 1024), jnp.int32),
+            pltpu.VMEM((8, S), jnp.int32),
             pltpu.SMEM((16,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA(()),
