@@ -78,7 +78,7 @@ def _resolve_kernel(
 
     @pl.when(p == 0)
     def _():
-        for i in range(12):
+        for i in range(14):
             carry[i] = 0
         carry[4] = -1  # open_pix: nothing open
         carry[5] = 0x7F7FFFFF  # FLT_MAX bits: open z_head default
@@ -168,6 +168,7 @@ def _resolve_kernel(
     cnt = cn - h_pn
 
     o_part = carry[10]
+    r_part = carry[12]
     slots = pix - o_part  # winner's row within this part's output range
 
     # ---- sub-chunk one-hot placement on the MXU ----
@@ -212,21 +213,41 @@ def _resolve_kernel(
         out8 = jnp.stack(
             out_rows + [jnp.zeros_like(out_rows[0])] * 3, axis=0
         )  # (8, S)
-        # VMEM vector stores demand 128-aligned dynamic lane offsets, but
-        # DMA offsets are unconstrained: stage the tile at offset 0 and DMA
-        # it straight to its global image range. Strict start+wait keeps
-        # the nondecreasing overlapping writes ordered (later sub-chunks
-        # overwrite the previous tile's garbage tail).
-        part_out[:, pl.ds(0, S)] = out8
-        carry[11] = o_part + o_sub
-        tile_dma = pltpu.make_async_copy(
-            part_out.at[:, pl.ds(0, S)],
-            img_hbm.at[:, pl.ds(carry[11], S)],
-            out_sem,
-        )
-        tile_dma.start()
-        tile_dma.wait()
+        # VMEM vector stores/loads demand 128-aligned dynamic lane offsets;
+        # write the tile with an align-down + dynamic-roll + masked merge
+        # into the part buffer (pl.multiple_of proves alignment to Mosaic).
+        q = r_part + o_sub  # tile start within the part buffer (arbitrary)
+        carry[11] = (q // 128) * 128
+        q_al = pl.multiple_of(carry[11], 128)
+        rq = q - q_al
+        padded = jnp.concatenate(
+            [out8, jnp.zeros((8, 128), jnp.int32)], axis=1
+        )  # (8, S+128)
+        rolled = pltpu.roll(padded, rq, axis=1)  # roll right: lane i -> i+rq
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (8, S + 128), 1)
+        tmask = (lane_t >= rq) & (lane_t < rq + S)
+        cur = part_out[:, pl.ds(q_al, S + 128)]
+        part_out[:, pl.ds(q_al, S + 128)] = jnp.where(tmask, rolled, cur)
         o_sub = o_sub + k_c
+
+    # ---- one aligned DMA of the whole part's rows to the image ----
+    carry[11] = ((o_part - r_part) // 128) * 128  # == o_part - r_part (aligned)
+    o_al = pl.multiple_of(carry[11], 128)
+    dma = pltpu.make_async_copy(
+        part_out.at[:, pl.ds(0, L + 256)],
+        img_hbm.at[:, pl.ds(o_al, L + 256)],
+        out_sem,
+    )
+    dma.start()
+
+    # ---- carry the trailing partial 128-lane tile to the next part ----
+    end = r_part + o_sub  # next r relative to the *new* aligned origin
+    carry[13] = (end // 128) * 128
+    tail_al = pl.multiple_of(carry[13], 128)
+    dma.wait()  # reads below must see final buffer; DMA also done before overwrite
+    tail = part_out[:, pl.ds(tail_al, 128)]
+    part_out[:, pl.ds(0, 128)] = tail
+    r_next = end - tail_al
 
     # ---- update carries (scalars from the last owned lane) ----
     last = L - 1
@@ -241,14 +262,15 @@ def _resolve_kernel(
     carry[8] = h_pb[0, last]
     carry[9] = h_pn[0, last]
     carry[10] = o_part + o_sub
+    carry[12] = r_next
 
 
 def raster_images_pallas(
     sp: SortedPoints,
     hw: int,
     depth_band: float,
-    part_size: int = 8192,
-    sub_chunk: int = 1024,
+    part_size: int = 16384,
+    sub_chunk: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense (sums (HW,3) int32, count (HW,) int32, depth (HW,) f32) via the
@@ -294,7 +316,7 @@ def raster_images_pallas(
             pltpu.VMEM((1, L + 1024), jnp.int32),
             pltpu.VMEM((1, L + 1024), jnp.int32),
             pltpu.VMEM((1, L + 1024), jnp.int32),
-            pltpu.VMEM((8, S), jnp.int32),
+            pltpu.VMEM((8, L + 256), jnp.int32),
             pltpu.SMEM((16,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA(()),
