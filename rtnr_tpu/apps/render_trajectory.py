@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=0, help="frames per device batch (0 = serial)")
     p.add_argument("--depth", action="store_true", help="also write 16-bit-style depth PNGs")
     p.add_argument("--downsample", type=float, default=1.0, help="per-block keep fraction")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     return p
 
 
@@ -48,6 +50,11 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+
+    if not args.no_compile_cache:
+        from rtnr_tpu.utils.checkpoint import enable_compilation_cache
+
+        enable_compilation_cache()
 
     from rtnr_tpu.camera import Camera, Trajectory
     from rtnr_tpu.config import RenderConfig

@@ -371,7 +371,7 @@ def resolve_uint8(sum_img: jax.Array, cnt_img: jax.Array) -> jax.Array:
     return jnp.where(cnt_img[:, None] > 0, rgb, jnp.uint8(0))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "depth_band"))
 def rasterize(
     points: jax.Array,
     colors: jax.Array,
@@ -395,7 +395,7 @@ def rasterize(
     return rgb.reshape(height, width, 3), depth_img.reshape(height, width)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "depth_band"))
 def rasterize_scatter(
     points: jax.Array,
     colors: jax.Array,
