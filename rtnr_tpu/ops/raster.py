@@ -355,9 +355,9 @@ def _raster_sums(
     sp = project_and_sort(points, colors, cam_proj, width=width, height=height, valid=valid)
     if sp.pix.shape[0] >= (1 << 17):
         if jax.default_backend() == "tpu":
-            from rtnr_tpu.ops.raster_pallas import raster_images_pallas
+            from rtnr_tpu.ops.raster_pallas2 import raster_images_pallas2
 
-            return raster_images_pallas(sp, hw, depth_band)
+            return raster_images_pallas2(sp, hw, depth_band)
         from rtnr_tpu.ops.raster_partitioned import raster_images_partitioned
 
         return raster_images_partitioned(sp, hw, depth_band)
