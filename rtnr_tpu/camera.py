@@ -155,6 +155,35 @@ class Camera:
             return cls._load_colmap_cameras(path)
         return cls._load_matrix_file(path)
 
+    # ---- binary I/O (reference CameraCalibration.cpp:262-285) ----
+    def save_binary(self, path: Union[str, Path]) -> None:
+        """Binary calibration writer, byte-compatible with the reference's
+        ``CameraCalibration::save`` (CameraCalibration.cpp:262-273): row-major
+        3x3 f64 K, u64 distortion count, f64 distortions, i32 width, i32
+        height, u8 fisheye flag (little-endian / x86 layout)."""
+        import struct
+
+        buf = bytearray()
+        buf += np.ascontiguousarray(self.K, dtype="<f8").tobytes()
+        buf += struct.pack("<Q", len(self.dists))
+        buf += np.asarray(self.dists, dtype="<f8").tobytes()
+        buf += struct.pack("<ii?", int(self.width), int(self.height), bool(self.fisheye))
+        Path(path).write_bytes(bytes(buf))
+
+    @classmethod
+    def load_binary(cls, path: Union[str, Path]) -> "Camera":
+        """Binary calibration reader (reference CameraCalibration.cpp:275-285)."""
+        import struct
+
+        raw = Path(path).read_bytes()
+        K = np.frombuffer(raw[:72], dtype="<f8").reshape(3, 3).copy()
+        (dsize,) = struct.unpack_from("<Q", raw, 72)
+        off = 80
+        dists = tuple(np.frombuffer(raw[off : off + 8 * dsize], dtype="<f8").tolist())
+        off += 8 * dsize
+        width, height, fisheye = struct.unpack_from("<ii?", raw, off)
+        return cls(K=K, width=width, height=height, dists=dists, fisheye=bool(fisheye))
+
     @classmethod
     def _load_colmap_cameras(cls, path: Path) -> "Camera":
         for line in Path(path).read_text().splitlines():

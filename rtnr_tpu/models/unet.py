@@ -28,6 +28,52 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class Conv3x3Im2col(nn.Conv):
+    """3x3 same-padding conv lowered as explicit im2col + one matmul.
+
+    XLA's TPU conv lowering is pathological for tiny input-channel counts
+    (the 5-channel packed input conv measured ~10x slower than its memory
+    bound in isolation — scripts/profile_unet_layers.py): the contraction
+    K = 9*C_in is small and the emitter picks a bad layout. Materializing
+    the 9 shifted taps (cheap: 9 slices of an already-small tensor) and
+    contracting K = 9*C_in on the MXU in one dot is the fast path whenever
+    9*C_in fits a couple of MXU tiles. Identical arithmetic to the conv
+    (same contraction, f32 accumulation), so parity is exact.
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (3, 3, c_in, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        n, h, w, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [
+            xp[:, dy : dy + h, dx : dx + w, :] for dy in range(3) for dx in range(3)
+        ]
+        patches = jnp.concatenate(taps, axis=-1)  # (N, H, W, 9*C)
+        y = jax.lax.dot_general(
+            patches.reshape(n * h * w, 9 * c_in),
+            kernel.reshape(9 * c_in, self.features),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        y = y.reshape(n, h, w, self.features)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class DoubleConv(nn.Module):
     """(Conv3x3 no-bias -> BatchNorm -> ReLU) x 2 (reference model.py:5-19).
 
@@ -42,7 +88,10 @@ class DoubleConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         for i in range(2):
-            x = nn.Conv(
+            # im2col lowering for tiny input-channel counts (the 5-channel
+            # packed input) where XLA's native conv emitter is pathological.
+            conv_cls = nn.Conv if x.shape[-1] * 9 > 128 else Conv3x3Im2col
+            x = conv_cls(
                 self.features,
                 kernel_size=(3, 3),
                 strides=(1, 1),

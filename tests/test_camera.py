@@ -118,3 +118,26 @@ def test_cam_proj_shape_and_depth_row():
     p = np.array([1.0, 2.0, 3.0, 1.0])
     cam_space = E @ p
     assert np.isclose((M @ p)[2], cam_space[2])
+
+
+def test_binary_calibration_roundtrip(tmp_path):
+    cam = Camera.from_params(1100.5, 1099.25, 960.0, 540.0, 1920, 1080,
+                             dists=(0.1, -0.2, 0.001, 0.002, 0.05))
+    f = tmp_path / "calib.bin"
+    cam.save_binary(f)
+    back = Camera.load_binary(f)
+    np.testing.assert_array_equal(back.K, cam.K)
+    assert back.dists == cam.dists
+    assert (back.width, back.height, back.fisheye) == (1920, 1080, False)
+    # byte layout matches the reference's struct writes
+    # (CameraCalibration.cpp:262-273): 72B K + 8B count + 5*8B dists + 4+4+1
+    assert f.stat().st_size == 72 + 8 + 5 * 8 + 4 + 4 + 1
+
+
+def test_binary_calibration_fisheye(tmp_path):
+    cam = Camera.from_params(500, 500, 320, 240, 640, 480,
+                             dists=(0.1, 0.2, 0.3, 0.4), fisheye=True)
+    f = tmp_path / "fish.bin"
+    cam.save_binary(f)
+    back = Camera.load_binary(f)
+    assert back.fisheye and back.dists == cam.dists
