@@ -176,9 +176,13 @@ class Camera:
         import struct
 
         raw = Path(path).read_bytes()
+        if len(raw) < 80:
+            raise ValueError(f"truncated calibration file {path}")
         K = np.frombuffer(raw[:72], dtype="<f8").reshape(3, 3).copy()
         (dsize,) = struct.unpack_from("<Q", raw, 72)
         off = 80
+        if len(raw) != off + 8 * dsize + 9:
+            raise ValueError(f"truncated calibration file {path}")
         dists = tuple(np.frombuffer(raw[off : off + 8 * dsize], dtype="<f8").tolist())
         off += 8 * dsize
         width, height, fisheye = struct.unpack_from("<ii?", raw, off)
@@ -275,11 +279,20 @@ class Trajectory:
 
         fmt="tum":    ``timestamp tx ty tz qx qy qz qw`` per line — the format
                       the reference example implements (main.cpp:32).
-        fmt="colmap": ``IMAGE_ID qw qx qy qz tx ty tz CAMERA_ID NAME`` — the
-                      COLMAP images.txt order the reference README documents
-                      (README.md:92). COLMAP stores world-to-cam; we invert to
-                      keep ``pose`` cam-to-world like the TUM path delivers.
+        fmt="colmap": genuine COLMAP ``images.txt`` — records alternate a pose
+                      line ``IMAGE_ID qw qx qy qz tx ty tz CAMERA_ID NAME``
+                      with a POINTS2D line (``x y id ...``, possibly empty);
+                      the POINTS2D lines are skipped. This is the order the
+                      reference README documents (README.md:92). COLMAP stores
+                      world-to-cam; we invert to keep ``pose`` cam-to-world
+                      like the TUM path delivers. Files exported with only
+                      pose lines (no POINTS2D rows) also parse: a line shaped
+                      like a pose record is never consumed as points.
         """
+        if fmt == "colmap":
+            return cls._load_colmap_images(path)
+        if fmt != "tum":
+            raise ValueError(f"Unknown trajectory format: {fmt}")
         entries: List[TrajectoryEntry] = []
         frame_id = 0
         for raw in Path(path).read_text().splitlines():
@@ -288,16 +301,56 @@ class Trajectory:
                 continue
             parts = line.split()
             frame_id += 1
-            if fmt == "tum":
-                _ts, tx, ty, tz, qx, qy, qz, qw = (float(v) for v in parts[:8])
-                pose = pose_from_quat_trans(qw, qx, qy, qz, tx, ty, tz)
-                name = f"frame_{frame_id}.png"
-            elif fmt == "colmap":
-                qw, qx, qy, qz, tx, ty, tz = (float(v) for v in parts[1:8])
-                w2c = pose_from_quat_trans(qw, qx, qy, qz, tx, ty, tz)
-                pose = np.linalg.inv(w2c)
-                name = parts[9] if len(parts) > 9 else f"frame_{frame_id}.png"
-            else:
-                raise ValueError(f"Unknown trajectory format: {fmt}")
-            entries.append(TrajectoryEntry(frame_id=frame_id, pose=pose, filename=name))
+            _ts, tx, ty, tz, qx, qy, qz, qw = (float(v) for v in parts[:8])
+            pose = pose_from_quat_trans(qw, qx, qy, qz, tx, ty, tz)
+            entries.append(
+                TrajectoryEntry(frame_id=frame_id, pose=pose, filename=f"frame_{frame_id}.png")
+            )
+        return cls(entries=entries)
+
+    @staticmethod
+    def _looks_like_pose_line(parts: List[str]) -> bool:
+        """True iff a token list matches ``IMAGE_ID qw..tz CAMERA_ID NAME``.
+
+        A POINTS2D row is triplets of numbers (token count % 3 == 0, all
+        numeric); a pose row has 10 tokens and typically a non-numeric
+        trailing image name. Used only to tolerate pose-only exports."""
+        if len(parts) < 10:
+            return False
+        try:
+            int(parts[0])
+            [float(v) for v in parts[1:8]]
+            int(parts[8])
+        except ValueError:
+            return False
+        try:
+            float(parts[9])
+        except ValueError:
+            return True  # trailing image name
+        return False
+
+    @classmethod
+    def _load_colmap_images(cls, path: Union[str, Path]) -> "Trajectory":
+        entries: List[TrajectoryEntry] = []
+        expecting_points = False
+        for raw in Path(path).read_text().splitlines():
+            line = raw.strip()
+            if line.startswith("#"):
+                continue
+            parts = line.split()
+            if expecting_points and not cls._looks_like_pose_line(parts):
+                expecting_points = False  # POINTS2D row (possibly empty)
+                continue
+            if not line:
+                continue
+            qw, qx, qy, qz, tx, ty, tz = (float(v) for v in parts[1:8])
+            w2c = pose_from_quat_trans(qw, qx, qy, qz, tx, ty, tz)
+            entries.append(
+                TrajectoryEntry(
+                    frame_id=int(parts[0]),
+                    pose=np.linalg.inv(w2c),
+                    filename=parts[9] if len(parts) > 9 else f"frame_{parts[0]}.png",
+                )
+            )
+            expecting_points = True
         return cls(entries=entries)

@@ -43,6 +43,16 @@ class Conv3x3Im2col(nn.Conv):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # This lowering hardcodes 3x3 / stride-1 / same-padding; inherited
+        # nn.Conv config fields other than these would be silently ignored.
+        if tuple(self.kernel_size) != (3, 3):
+            raise ValueError(f"Conv3x3Im2col requires kernel_size (3,3), got {self.kernel_size}")
+        if tuple(self.strides or (1, 1)) != (1, 1):
+            raise ValueError(f"Conv3x3Im2col requires strides (1,1), got {self.strides}")
+        if self.padding != ((1, 1), (1, 1)):
+            raise ValueError(f"Conv3x3Im2col requires padding ((1,1),(1,1)), got {self.padding}")
+        if self.feature_group_count != 1:
+            raise ValueError("Conv3x3Im2col does not support grouped convs")
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel",

@@ -21,8 +21,10 @@ N = 5_000_000 + 1920 * 1080  # points + carriers
 
 
 def timed(fn, args, reps=5):
+    # inputs passed as jit ARGUMENTS (not closure captures) so repeat runs
+    # aren't memoized by the remote backend — see CLAUDE.md / profile_micro.py
     @jax.jit
-    def run():
+    def run(*args):
         def body(i, carry):
             acc, xs = carry
             xs0 = tuple(x + (acc * jnp.int32(0)).astype(x.dtype) for x in xs)
@@ -32,9 +34,9 @@ def timed(fn, args, reps=5):
         acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.int32(0), args))
         return acc
 
-    np.asarray(run())
+    np.asarray(run(*args))
     t0 = time.perf_counter()
-    np.asarray(run())
+    np.asarray(run(*args))
     return (time.perf_counter() - t0) / reps * 1e3
 
 

@@ -27,8 +27,10 @@ def timed(fn, x_shape, k_shape, reps=10):
         else None
     )
 
+    # inputs passed as jit ARGUMENTS (not closure captures) so repeat runs
+    # aren't memoized by the remote backend — see CLAUDE.md / profile_micro.py
     @jax.jit
-    def run():
+    def run(x0, k):
         def body(i, carry):
             acc, x = carry
             # loop-carried dependence: perturb input by acc (kept ~0)
@@ -39,9 +41,9 @@ def timed(fn, x_shape, k_shape, reps=10):
         acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0.0), x0))
         return acc
 
-    np.asarray(run())
+    np.asarray(run(x0, k))
     t0 = time.perf_counter()
-    np.asarray(run())
+    np.asarray(run(x0, k))
     return (time.perf_counter() - t0) / reps * 1e3
 
 
@@ -94,10 +96,10 @@ def main():
         total += t
         # flops for convs
         if ks is not None:
-            if fn is convt:
-                fl = xs[1] * xs[2] * ks[2] * ks[3] * ks[0] * ks[1] * 2
-            else:
-                fl = xs[1] * xs[2] * ks[2] * ks[3] * ks[0] * ks[1] * 2
+            # in_H*in_W*Cin*Cout*kh*kw*2 — exact for stride-1 convs and for
+            # the 2x2/stride-2 transpose (where stride == kernel size, each
+            # input position contributes all kh*kw taps exactly once)
+            fl = xs[1] * xs[2] * ks[2] * ks[3] * ks[0] * ks[1] * 2
             eff = fl / (t * 1e-3) / 197e12 * 100
             print(f"{name:42s} {t:7.2f} ms  {fl/1e9:7.1f} GF  {eff:5.1f}% MXU", flush=True)
         else:

@@ -110,6 +110,54 @@ def test_trajectory_colmap(tmp_path):
     assert traj[0].filename == "frame0.png"
 
 
+def test_trajectory_colmap_real_format(tmp_path):
+    """Genuine COLMAP images.txt: 4 header comments, then per image a pose
+    line alternating with a POINTS2D line (floats; may be empty)."""
+    f = tmp_path / "images.txt"
+    f.write_text(
+        "# Image list with two lines of data per image:\n"
+        "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+        "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+        "# Number of images: 3, mean observations per image: 2\n"
+        "1 1 0 0 0 5.0 6.0 7.0 1 frame0.png\n"
+        "100.25 200.5 -1 300.0 400.0 12345\n"
+        "2 1 0 0 0 1.0 2.0 3.0 1 frame1.png\n"
+        "\n"  # empty POINTS2D row
+        "3 1 0 0 0 -1.0 -2.0 -3.0 1 frame2.png\n"
+        "7.0 8.0 9\n"
+    )
+    traj = Trajectory.load(f, fmt="colmap")
+    assert len(traj) == 3
+    assert [e.filename for e in traj.entries] == ["frame0.png", "frame1.png", "frame2.png"]
+    assert [e.frame_id for e in traj.entries] == [1, 2, 3]
+    np.testing.assert_allclose(traj.world_to_cam(0)[:3, 3], [5, 6, 7], atol=1e-12)
+    np.testing.assert_allclose(traj.world_to_cam(2)[:3, 3], [-1, -2, -3], atol=1e-12)
+
+
+def test_trajectory_colmap_pose_only_file(tmp_path):
+    """Minimal exports with only pose lines (no POINTS2D rows) still parse."""
+    f = tmp_path / "images.txt"
+    f.write_text(
+        "1 1 0 0 0 5.0 6.0 7.0 1 frame0.png\n"
+        "2 1 0 0 0 1.0 2.0 3.0 1 frame1.png\n"
+    )
+    traj = Trajectory.load(f, fmt="colmap")
+    assert len(traj) == 2
+    np.testing.assert_allclose(traj.world_to_cam(1)[:3, 3], [1, 2, 3], atol=1e-12)
+
+
+def test_binary_calibration_truncated(tmp_path):
+    cam = Camera.from_params(100, 100, 32, 24, 64, 48, dists=(0.1, 0.2, 0.3, 0.4, 0.5))
+    f = tmp_path / "calib.bin"
+    cam.save_binary(f)
+    raw = f.read_bytes()
+    for cut in (10, 79, len(raw) - 8, len(raw) - 1):
+        g = tmp_path / f"cut{cut}.bin"
+        g.write_bytes(raw[:cut])
+        with pytest.raises(ValueError, match="truncated"):
+            Camera.load_binary(g)
+
+
 def test_cam_proj_shape_and_depth_row():
     cam = Camera.from_params(100, 100, 32, 24, 64, 48)
     E = pose_from_quat_trans(1, 0, 0, 0, 0.5, -0.5, 2.0)
