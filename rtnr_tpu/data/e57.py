@@ -11,13 +11,16 @@ limits, and optional random skip decimation. Two deliberate divergences:
   281-282); we normalize each channel by its own range.
 - Colors are RGB, not OpenCV BGR.
 
-This environment has no E57 library; parsing the full ASTM E2807 binary
-format (XML section + CRC-protected binary blobs + compressed vectors) is
-out of scope for a from-scratch build, so this module defines the ingest
-interface and converts the *decoded* per-scan arrays; `read_e57` raises a
-clear error unless `pye57` is installed. The scan-level math
-(spherical->cartesian, pose composition, color limits, invalid masks) is
-implemented and tested here.
+The ASTM E2807 container layer (XML section + CRC-32C pages + bitpack
+compressed vectors + image blobs) is decoded by the native extension
+(cpp/rtnr_e57.cpp, loaded via data/native.py) — no external E57 library is
+needed. ``E57Reader`` is the high-level facade: per-scan world-frame
+points/colors (``get_scan_cloud``) and embedded posed imagery
+(``get_image`` — the reference's getImage, PointCloudReader.cpp:18-51,
+including its K-from-pinhole math and extrinsics axis-flip convention at
+:71-93). The scan-level math (spherical->cartesian, pose composition,
+color limits, invalid masks) is pure Python below and tested without the
+native lib; ``write_e57`` (data/e57_write.py) produces fixture files.
 """
 
 from __future__ import annotations
@@ -129,36 +132,114 @@ def assemble_scan(
     return pts[keep].astype(np.float32), cols[keep]
 
 
+class E57Reader:
+    """High-level E57 facade over the native container decoder.
+
+    Mirrors the reference's ``PointCloudReader`` surface
+    (PointCloudReader.h:8-25): scan/image counts, per-scan world-frame
+    clouds, and embedded posed images with pinhole intrinsics.
+    """
+
+    def __init__(self, path: Union[str, Path]):
+        from rtnr_tpu.data.native import NativeE57, available, build
+
+        if not available():
+            build()
+        self._f = NativeE57(path)
+        self.path = Path(path)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def scan_count(self) -> int:
+        return self._f.scan_count
+
+    @property
+    def image_count(self) -> int:
+        return self._f.image_count
+
+    def get_scan_raw(self, i: int) -> Dict[str, np.ndarray]:
+        """Decoded field arrays + pose tuple for ``assemble_scan``."""
+        meta = self._f.meta["scans"][i]
+        scan: Dict[str, np.ndarray] = {}
+        for field in meta["fields"]:
+            data = self._f.read_field(i, field)
+            if field.endswith("InvalidState"):
+                data = data.astype(np.int8)
+            scan[field] = data
+        if meta["pose"]["present"]:
+            q = meta["pose"]["quaternion"]
+            t = meta["pose"]["translation"]
+            scan["pose"] = (q[0], q[1], q[2], q[3], t[0], t[1], t[2])
+        return scan
+
+    def get_scan_cloud(
+        self, i: int, skip: int = 0, rng_seed: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One scan as filtered world-frame (points f32, colors u8) — the
+        reference's getScanCloud (PointCloudReader.cpp:116-294)."""
+        meta = self._f.meta["scans"][i]
+        return assemble_scan(
+            self.get_scan_raw(i),
+            color_limits=meta.get("color_limits") or None,
+            skip=skip,
+            rng_seed=rng_seed,
+        )
+
+    def get_image(self, i: int) -> Tuple[np.ndarray, np.ndarray, "np.ndarray"]:
+        """Embedded image i -> (rgb (H,W,3) uint8, world_to_cam 4x4, K 3x3).
+
+        Reference getImage (PointCloudReader.cpp:18-51): K built from the
+        pinhole representation (fx = focalLength/pixelWidth,
+        fy = focalLength/pixelHeight, principal point direct), pose =
+        (P_quat·diag(1,1,-1)·diag(1,-1,1)).inv() — the axis-flip convention
+        of obtainCameraExtrinsics (PointCloudReader.cpp:71-93). Colors are
+        RGB (the reference returns OpenCV BGR; documented divergence)."""
+        meta = self._f.meta["images"][i]
+        jpeg = self._f.read_blob(i)
+        import io
+
+        from PIL import Image  # PIL stands in for cv::imdecode
+
+        img = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+
+        K = np.eye(3, dtype=np.float64)
+        if meta["pixel_width"]:
+            K[0, 0] = meta["focal_length"] / meta["pixel_width"]
+        if meta["pixel_height"]:
+            K[1, 1] = meta["focal_length"] / meta["pixel_height"]
+        K[0, 2] = meta["principal_point_x"]
+        K[1, 2] = meta["principal_point_y"]
+
+        q = meta["pose"]["quaternion"]
+        t = meta["pose"]["translation"]
+        P = pose_from_quat_trans(q[0], q[1], q[2], q[3], t[0], t[1], t[2])
+        # axis flips: P·diag(1,1,-1,1)·diag(1,-1,1,1) == P·diag(1,-1,-1,1)
+        P = P @ np.diag([1.0, -1.0, -1.0, 1.0])
+        world_to_cam = np.linalg.inv(P)
+        return img, world_to_cam, K
+
+
 def read_e57(path: Union[str, Path]) -> Tuple[np.ndarray, np.ndarray]:
     """Read all scans of an .e57 file to world-frame (points, colors).
 
-    Requires the optional ``pye57`` package for the low-level container
-    decoding; everything above the raw field arrays goes through
-    ``assemble_scan`` (tested without pye57).
+    Container decoding is native (cpp/rtnr_e57.cpp); everything above the
+    raw field arrays goes through ``assemble_scan``.
     """
-    try:
-        import pye57  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "Reading .e57 requires the optional 'pye57' package, which is not "
-            "installed in this environment. Convert the cloud to .ply, or use "
-            "the npz scene cache."
-        ) from e
-
-    f = pye57.E57(str(path))
-    all_pts: List[np.ndarray] = []
-    all_cols: List[np.ndarray] = []
-    for i in range(f.scan_count):
-        header = f.get_header(i)
-        data = f.read_scan_raw(i)
-        scan = dict(data)
-        try:
-            rot = header.rotation  # quaternion (w, x, y, z)
-            tr = header.translation
-            scan["pose"] = (rot[0], rot[1], rot[2], rot[3], tr[0], tr[1], tr[2])
-        except Exception:
-            pass
-        pts, cols = assemble_scan(scan)
-        all_pts.append(pts)
-        all_cols.append(cols)
+    with E57Reader(path) as f:
+        all_pts: List[np.ndarray] = []
+        all_cols: List[np.ndarray] = []
+        for i in range(f.scan_count):
+            pts, cols = f.get_scan_cloud(i)
+            all_pts.append(pts)
+            all_cols.append(cols)
+    if not all_pts:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
     return np.concatenate(all_pts), np.concatenate(all_cols)

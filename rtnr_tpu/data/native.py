@@ -40,6 +40,21 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    if hasattr(lib, "e57_open"):  # absent in pre-E57 builds of the .so
+        lib.e57_open.restype = ctypes.c_void_p
+        lib.e57_open.argtypes = [ctypes.c_char_p]
+        lib.e57_close.restype = None
+        lib.e57_close.argtypes = [ctypes.c_void_p]
+        lib.e57_meta.restype = ctypes.c_char_p
+        lib.e57_meta.argtypes = [ctypes.c_void_p]
+        lib.e57_last_error.restype = ctypes.c_char_p
+        lib.e57_last_error.argtypes = []
+        lib.e57_read_field_f64.restype = ctypes.c_int
+        lib.e57_read_field_f64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p,
+        ]
+        lib.e57_read_blob.restype = ctypes.c_int
+        lib.e57_read_blob.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -54,10 +69,13 @@ def build(force: bool = False) -> bool:
         return True
     import subprocess
 
-    src = Path(__file__).resolve().parents[2] / "cpp" / "rtnr_ingest.cpp"
-    if not src.exists():
+    cpp_dir = Path(__file__).resolve().parents[2] / "cpp"
+    srcs = [cpp_dir / "rtnr_ingest.cpp", cpp_dir / "rtnr_e57.cpp"]
+    if not all(s.exists() for s in srcs):
         return False
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", str(_LIB_PATH), str(src)]
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", str(_LIB_PATH)] + [
+        str(s) for s in srcs
+    ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -65,6 +83,73 @@ def build(force: bool = False) -> bool:
     global _lib
     _lib = None
     return _load() is not None
+
+
+class NativeE57:
+    """Handle-owning wrapper over the native E57 container reader
+    (cpp/rtnr_e57.cpp). ``meta`` is the parsed JSON description; field reads
+    return float64 arrays (libE57 doConversion=true semantics, which the
+    reference relies on — PointCloudReader.cpp:116-294)."""
+
+    def __init__(self, path):
+        lib = _load()
+        if lib is None or not hasattr(lib, "e57_open"):
+            raise RuntimeError("native ingest library not built (run cpp/build.sh)")
+        self._lib = lib
+        self._h = lib.e57_open(str(path).encode())
+        if not self._h:
+            raise ValueError(
+                f"cannot open E57 file {path}: {lib.e57_last_error().decode()}"
+            )
+        import json
+
+        self.meta = json.loads(lib.e57_meta(self._h).decode())
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.e57_close(self._h)
+            self._h = None
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def scan_count(self) -> int:
+        return len(self.meta["scans"])
+
+    @property
+    def image_count(self) -> int:
+        return len(self.meta["images"])
+
+    def read_field(self, scan: int, field: str) -> np.ndarray:
+        n = int(self.meta["scans"][scan]["record_count"])
+        out = np.empty(n, np.float64)
+        rc = self._lib.e57_read_field_f64(
+            self._h, scan, field.encode(), out.ctypes.data_as(ctypes.c_void_p)
+        )
+        if rc != 0:
+            raise ValueError(
+                f"E57 field read failed (scan {scan}, field {field}, rc={rc}): "
+                f"{self._lib.e57_last_error().decode()}"
+            )
+        return out
+
+    def read_blob(self, image: int) -> bytes:
+        n = int(self.meta["images"][image]["blob_length"])
+        out = np.empty(n, np.uint8)
+        rc = self._lib.e57_read_blob(self._h, image, out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise ValueError(f"E57 blob read failed (image {image}, rc={rc})")
+        return out.tobytes()
 
 
 def read_ply_native(path) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:

@@ -58,6 +58,36 @@ def generate_pairs(
     return pairs
 
 
+def generate_pairs_from_e57(
+    path,
+    cache_dir=None,
+    limit: Optional[int] = None,
+) -> List[TrainingPair]:
+    """Training pairs straight from a scanner ``.e57``: embedded posed
+    photos + depth/projection renders from the same poses — the full
+    ``loadCubemaps`` pipeline (reference cloudreader.cpp:219-254) with the
+    container decoded natively (cpp/rtnr_e57.cpp) and ``getImage``'s
+    intrinsics/pose conventions (reference PointCloudReader.cpp:18-51)."""
+    from rtnr_tpu.data.e57 import E57Reader
+    from rtnr_tpu.scene import Scene
+
+    scene = Scene.from_file(path, cache_dir=cache_dir)
+    images: List[np.ndarray] = []
+    w2cs: List[np.ndarray] = []
+    cameras: List[Camera] = []
+    with E57Reader(path) as r:
+        n = r.image_count if limit is None else min(limit, r.image_count)
+        for i in range(n):
+            img, w2c, K = r.get_image(i)
+            h, w = img.shape[:2]
+            images.append(img)
+            w2cs.append(w2c)
+            # E57 pinhole images carry no distortion model; 5 explicit zeros
+            # keep the calibration-file round trip valid (camera.py parser)
+            cameras.append(Camera(K=K, width=w, height=h, dists=(0.0,) * 5))
+    return generate_pairs(scene, images, w2cs, cameras)
+
+
 def batches_for_training(
     pairs: Sequence[TrainingPair],
     batch_size: int,
