@@ -94,6 +94,10 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3),
+                # BASELINE.md throughput counters
+                "points_per_s": round(fps * n_points, 0),
+                "pixels_per_s": round(fps * width * height, 0),
+                "ms_per_frame": round(1e3 / fps, 2),
             }
         )
     )

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downsample", type=float, default=1.0, help="per-block keep fraction")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache")
+    p.add_argument("--timings", action="store_true",
+                   help="per-stage RENDER_TIME (projection/filter/unet) per "
+                        "frame — runs stages as separate synchronized "
+                        "programs (diagnostics; slower than the fused path)")
     return p
 
 
@@ -87,7 +91,7 @@ def main(argv=None) -> int:
             return 1
         variables = load_torch_checkpoint(args.ckpt)
 
-    config = RenderConfig()
+    config = RenderConfig(stage_timing=args.timings)
     renderer = Renderer(scene, config=config, unet_variables=variables)
 
     outdir = Path(args.output)

@@ -40,6 +40,12 @@ class RenderConfig:
     # "f32" is used for parity testing against the fp32 oracle.
     unet_dtype: str = "bf16"
 
+    # Per-stage wall-time reporting (the reference's per-frame RENDER_TIME
+    # print, project_cloud.cu:490): runs projection / prefilter / U-Net as
+    # three synchronized device programs instead of one fused executable.
+    # Costs fusion, so it is a diagnostics mode, not the deployment path.
+    stage_timing: bool = False
+
     # U-Net feature widths (reference model/model.py:23 defaults).
     unet_features: Tuple[int, ...] = (64, 128, 256, 512)
     unet_in_channels: int = 5

@@ -235,7 +235,26 @@ class Renderer:
         self.last_timings = FrameTimings(projection_ms=dt, total_ms=dt)
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def compute_filtered_rgbd(self, camera: Camera, extrinsics: np.ndarray) -> Dict[str, np.ndarray]:
+    def compute_filtered_rgbd(
+        self, camera: Camera, extrinsics: np.ndarray, timings: bool = False
+    ) -> Dict[str, np.ndarray]:
+        if timings or getattr(self.config, "stage_timing", False):
+            stage_raster, stage_filter, _ = self._stage_jits()
+            w, h = camera.width, camera.height
+            M = self._cam_proj(camera, extrinsics)
+            t0 = time.perf_counter()
+            raw_rgb, raw_depth = jax.block_until_ready(
+                stage_raster(self.points, self.colors, self.valid, M, width=w, height=h)
+            )
+            t1 = time.perf_counter()
+            mid = jax.block_until_ready(stage_filter(raw_rgb, raw_depth, height=h, width=w))
+            t2 = time.perf_counter()
+            self.last_timings = FrameTimings(
+                projection_ms=(t1 - t0) * 1e3, filter_ms=(t2 - t1) * 1e3,
+                total_ms=(t2 - t0) * 1e3,
+            )
+            out = dict(mid, raw_rgb=raw_rgb, raw_depth=raw_depth)
+            return {k: np.asarray(v) for k, v in out.items()}
         t0 = time.perf_counter()
         out = render_filtered(
             self.points, self.colors, self.valid, self._cam_proj(camera, extrinsics),
@@ -258,9 +277,20 @@ class Renderer:
             gradient_filter=self.config.gradient_filter,
         )
 
-    def compute_full(self, camera: Camera, extrinsics: np.ndarray) -> Dict[str, np.ndarray]:
+    def compute_full(
+        self, camera: Camera, extrinsics: np.ndarray, timings: bool = False
+    ) -> Dict[str, np.ndarray]:
+        """Full neural render. ``timings=True`` (or config.stage_timing)
+        executes the three stages as separate device programs with a
+        synchronization between each, so ``last_timings`` carries real
+        per-stage wall times — the reference's per-frame
+        ``RENDER_TIME: projection[..] filter[..] unet[..]`` print
+        (project_cloud.cu:490). The default path keeps the fully-fused
+        single program (faster; stages can't be told apart inside XLA)."""
         if self.unet_variables is None:
             raise RuntimeError("No U-Net variables given; compute_full unavailable.")
+        if timings or getattr(self.config, "stage_timing", False):
+            return self._compute_full_staged(camera, extrinsics)
         t0 = time.perf_counter()
         out = self._full_jit(
             self._cam_proj(camera, extrinsics), self.unet_variables,
@@ -269,4 +299,72 @@ class Renderer:
         out = jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) * 1e3
         self.last_timings = FrameTimings(unet_ms=dt, total_ms=dt)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    # ---- stage-split path (per-stage timing parity) ----
+    def _stage_jits(self):
+        if not hasattr(self, "_staged"):
+            cfg = self.config
+
+            @functools.partial(jax.jit, static_argnames=("width", "height"))
+            def stage_raster(points, colors, valid, cam_proj, *, width, height):
+                from rtnr_tpu.ops.raster import rasterize
+
+                return rasterize(
+                    points, colors, cam_proj, width=width, height=height,
+                    valid=valid, depth_band=cfg.depth_band,
+                )
+
+            @functools.partial(jax.jit, static_argnames=("height", "width"))
+            def stage_filter(rgb, depth, *, height, width):
+                dpad, cpad = pad_to_pyramid(depth, rgb, cfg.pyramid_levels)
+                out = depth_prefilter(
+                    dpad, cpad, levels=cfg.pyramid_levels,
+                    filter_strength=cfg.filter_strength,
+                    gradient_filter=cfg.gradient_filter,
+                )
+                return {
+                    "rgb": out["filtered_rgb"][:height, :width],
+                    "depth": out["filtered_depth"][:height, :width],
+                    "mask": out["mask"][:height, :width],
+                    "unet_input": out["unet_input"],
+                }
+
+            @functools.partial(jax.jit, static_argnames=("height", "width"))
+            def stage_unet(unet_input, variables, *, height, width):
+                y = self.unet.apply(variables, unet_input[None])[0].astype(jnp.float32)
+                y = y[:height, :width]
+                rgb8 = jnp.clip(jnp.rint(y * 255.0), 0, 255).astype(jnp.uint8)
+                return {"rgb": rgb8, "rgb_f": y}
+
+            self._staged = (stage_raster, stage_filter, stage_unet)
+        return self._staged
+
+    def _compute_full_staged(self, camera: Camera, extrinsics: np.ndarray) -> Dict[str, np.ndarray]:
+        stage_raster, stage_filter, stage_unet = self._stage_jits()
+        w, h = camera.width, camera.height
+        M = self._cam_proj(camera, extrinsics)
+
+        t0 = time.perf_counter()
+        raw_rgb, raw_depth = jax.block_until_ready(
+            stage_raster(self.points, self.colors, self.valid, M, width=w, height=h)
+        )
+        t1 = time.perf_counter()
+        mid = jax.block_until_ready(stage_filter(raw_rgb, raw_depth, height=h, width=w))
+        t2 = time.perf_counter()
+        fin = jax.block_until_ready(
+            stage_unet(mid["unet_input"], self.unet_variables, height=h, width=w)
+        )
+        t3 = time.perf_counter()
+
+        self.last_timings = FrameTimings(
+            projection_ms=(t1 - t0) * 1e3,
+            filter_ms=(t2 - t1) * 1e3,
+            unet_ms=(t3 - t2) * 1e3,
+            total_ms=(t3 - t0) * 1e3,
+        )
+        out = {
+            "rgb": fin["rgb"], "rgb_f": fin["rgb_f"], "depth": mid["depth"],
+            "raw_rgb": raw_rgb, "raw_depth": raw_depth, "mask": mid["mask"],
+        }
         return {k: np.asarray(v) for k, v in out.items()}

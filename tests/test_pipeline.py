@@ -71,6 +71,25 @@ def test_render_full_runs_and_is_finite(small_setup):
     np.testing.assert_array_equal(out["rgb"], expect)
 
 
+def test_staged_timing_matches_fused(small_setup):
+    """timings=True must report three real stage times and produce output
+    identical to the fused path (same programs, just split)."""
+    scene, cam, E = small_setup
+    cfg = RenderConfig(unet_features=(8, 16), unet_dtype="f32")
+    _, variables = init_unet(jax.random.PRNGKey(0), 64, 64, features=(8, 16))
+    r = Renderer(scene, config=cfg, unet_variables=variables)
+    fused = r.compute_full(cam, E)
+    staged = r.compute_full(cam, E, timings=True)
+    t = r.last_timings
+    assert t.projection_ms > 0 and t.filter_ms > 0 and t.unet_ms > 0
+    assert t.total_ms >= t.projection_ms + t.filter_ms + t.unet_ms - 1e-6
+    assert "projection[" in str(t) and "unet[" in str(t)
+    np.testing.assert_array_equal(staged["depth"], fused["depth"])
+    np.testing.assert_array_equal(staged["raw_depth"], fused["raw_depth"])
+    np.testing.assert_allclose(staged["rgb_f"], fused["rgb_f"], atol=2e-6)
+    np.testing.assert_array_equal(staged["mask"], fused["mask"])
+
+
 def test_full_requires_model(small_setup):
     scene, cam, E = small_setup
     r = Renderer(scene)
