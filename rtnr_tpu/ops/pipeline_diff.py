@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from rtnr_tpu.ops.prefilter import depth_prefilter
-from rtnr_tpu.ops.raster_diff import rasterize_diff
+from rtnr_tpu.ops.raster_diff import rasterize_diff, rasterize_diff_sorted
 from rtnr_tpu.pipeline import pad_to_pyramid
 
 
@@ -48,7 +48,15 @@ def render_filtered_diff(
     (H',W',5) plus the float rgb/depth — all differentiable w.r.t.
     points / colors / cam_proj along the smooth paths.
     """
-    out = rasterize_diff(
+    # scale dispatch mirroring ops/raster._raster_sums: the scatter-based
+    # formulation serializes on TPU beyond ~1e5 elements; the sort-based
+    # custom-VJP variant has the production forward's cost shape
+    raster = (
+        rasterize_diff_sorted
+        if points.shape[0] + width * height >= (1 << 17)
+        else rasterize_diff
+    )
+    out = raster(
         points, colors, cam_proj, width=width, height=height, valid=valid,
         depth_band=depth_band,
     )

@@ -266,34 +266,56 @@ def min_depth_image(sp: SortedPoints, hw: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(zb, jnp.float32)
 
 
-def gather_image_sorted(img: jax.Array, pix_s: jax.Array, hw: int) -> jax.Array:
-    """Gather-free ``img[pix_s]`` for *sorted* pixel ids, via sort-merge.
+def gather_images_sorted(
+    imgs: Tuple[jax.Array, ...], pix_s: jax.Array, hw: int
+) -> Tuple[jax.Array, ...]:
+    """Gather-free ``img[pix_s]`` over several same-shape images for *sorted*
+    pixel ids, via ONE sort-merge.
 
-    Interleaves one carrier per pixel (holding the image value) with the
-    id stream, sorts by (pixel, carrier-first), scan-broadcasts the carrier
-    value across each segment, then un-sorts by original rank with another
-    placement sort. Only sorts + scans — no scatter/gather primitives.
+    Interleaves one carrier per pixel (holding that pixel's image values)
+    with the id stream, sorts by (pixel, carrier-first), scan-broadcasts the
+    carrier values across each segment, then un-sorts by original rank with
+    another placement sort. Only sorts + scans — no scatter/gather
+    primitives. All image lanes ride the same two sorts.
     """
     n = pix_s.shape[0]
-    img_bits = (
-        jax.lax.bitcast_convert_type(img, jnp.int32)
-        if img.dtype == jnp.float32
-        else img.astype(jnp.int32)
-    )
+
+    def to_bits(img):
+        return (
+            jax.lax.bitcast_convert_type(img, jnp.int32)
+            if img.dtype == jnp.float32
+            else img.astype(jnp.int32)
+        )
+
     keys1 = jnp.concatenate([jnp.arange(hw, dtype=jnp.int32), pix_s])
     keys2 = jnp.concatenate([jnp.zeros((hw,), jnp.int32), jnp.ones((n,), jnp.int32)])
-    payload = jnp.concatenate([img_bits, jnp.zeros((n,), jnp.int32)])
+    payloads = tuple(
+        jnp.concatenate([to_bits(img), jnp.zeros((n,), jnp.int32)]) for img in imgs
+    )
     rank = jnp.concatenate(
         [jnp.full((hw,), n, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
     )
-    k1, _, pay, rk = jax.lax.sort((keys1, keys2, payload, rank), num_keys=2)
+    out = jax.lax.sort((keys1, keys2) + payloads + (rank,), num_keys=2)
+    k1, pays, rk = out[0], out[2:-1], out[-1]
     is_head = k1 != _shift_right(k1, jnp.int32(-1))  # carriers sort first
-    val = segment_broadcast_head(pay, is_head)
+    vals = segment_broadcast_head(jnp.stack(pays, axis=1), is_head)
     # un-sort: placement by original rank; carriers (rank n) drop off the end
-    vals_sorted = jax.lax.sort((rk, val), num_keys=1)[1][:n]
-    if img.dtype == jnp.float32:
-        return jax.lax.bitcast_convert_type(vals_sorted, jnp.float32)
-    return vals_sorted.astype(img.dtype)
+    unsorted = jax.lax.sort(
+        (rk,) + tuple(vals[:, i] for i in range(len(imgs))), num_keys=1
+    )[1:]
+    result = []
+    for img, lane in zip(imgs, unsorted):
+        lane = lane[:n]
+        if img.dtype == jnp.float32:
+            result.append(jax.lax.bitcast_convert_type(lane, jnp.float32))
+        else:
+            result.append(lane.astype(img.dtype))
+    return tuple(result)
+
+
+def gather_image_sorted(img: jax.Array, pix_s: jax.Array, hw: int) -> jax.Array:
+    """Single-image ``gather_images_sorted`` (see above)."""
+    return gather_images_sorted((img,), pix_s, hw)[0]
 
 
 def accumulate_sums(
