@@ -84,6 +84,48 @@ class Conv3x3Im2col(nn.Conv):
         return y
 
 
+class ConvTranspose2x2MatMul(nn.Module):
+    """2x2 stride-2 transposed conv lowered as one matmul + depth-to-space.
+
+    Arithmetic- and parameter-compatible with
+    ``nn.ConvTranspose(features, (2,2), (2,2), "VALID")``: kernel shape
+    (2, 2, C_in, C_out), bias (C_out,), and
+    ``y[2i+di, 2j+dj] = sum_c x[i,j,c] * kernel[di,dj,c,o]`` — with stride
+    == kernel size every output pixel gets exactly one tap, so the op IS a
+    per-pixel matmul C_in -> 4*C_out followed by a pixel-shuffle. The matmul
+    form contracts to a (C_in, 4*C_out) MXU dot (full 128-lane output tiles)
+    instead of XLA's transposed-conv lowering.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, c_in, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        n, h, w, _ = x.shape
+        # flax ConvTranspose (lax.conv_transpose, transpose_kernel=False)
+        # applies the SPATIALLY FLIPPED kernel; with stride == kernel size
+        # output subpixel (di, dj) therefore reads kernel[1-di, 1-dj]
+        k = kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(c_in, 4 * self.features)
+        y = jax.lax.dot_general(
+            x.reshape(n * h * w, c_in), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        y = y.reshape(n, h, w, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, self.features)
+        return y + bias
+
+
 class DoubleConv(nn.Module):
     """(Conv3x3 no-bias -> BatchNorm -> ReLU) x 2 (reference model.py:5-19).
 
@@ -129,6 +171,9 @@ class UNet(nn.Module):
     out_channels: int = 3
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    # "matmul": ConvTranspose2x2MatMul (same params/math, MXU-friendly dot);
+    # "convt": XLA's native transposed-conv lowering (parity foil)
+    up_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -142,14 +187,17 @@ class UNet(nn.Module):
         x = DoubleConv(self.features[-1] * 2, dtype=self.dtype, fold_bn=self.fold_bn, name="bottleneck")(x, train)
 
         for i, f in enumerate(reversed(self.features)):
-            x = nn.ConvTranspose(
-                f,
-                kernel_size=(2, 2),
-                strides=(2, 2),
-                padding="VALID",
-                dtype=self.dtype,
-                name=f"up{i}",
-            )(x)
+            if self.up_impl == "matmul":
+                x = ConvTranspose2x2MatMul(f, dtype=self.dtype, name=f"up{i}")(x)
+            else:
+                x = nn.ConvTranspose(
+                    f,
+                    kernel_size=(2, 2),
+                    strides=(2, 2),
+                    padding="VALID",
+                    dtype=self.dtype,
+                    name=f"up{i}",
+                )(x)
             skip = skips[-(i + 1)]
             if x.shape[1:3] != skip.shape[1:3]:
                 x = jax.image.resize(

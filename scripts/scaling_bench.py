@@ -9,9 +9,19 @@ functional (not performance-meaningful) check.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the container's sitecustomize pins jax_platforms to the axon TPU; an
+    # env var alone doesn't override it (see CLAUDE.md)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -138,3 +138,40 @@ def test_unet_train_mode_updates_stats():
     before = variables["batch_stats"]["down0"]["bn0"]["mean"]
     after = mutated["batch_stats"]["down0"]["bn0"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_convtranspose_matmul_parity():
+    """ConvTranspose2x2MatMul == nn.ConvTranspose bit-for-bit on shared
+    parameters (the "matmul" up_impl is an exact lowering, incl. the
+    spatial kernel flip of lax.conv_transpose)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from rtnr_tpu.models.unet import ConvTranspose2x2MatMul
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 6, 8, 12))
+    ref = nn.ConvTranspose(10, kernel_size=(2, 2), strides=(2, 2), padding="VALID")
+    v = ref.init(key, x)
+    y_ref = ref.apply(v, x)
+    y_mm = ConvTranspose2x2MatMul(10).apply(v, x)
+    assert y_mm.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_ref), atol=1e-5)
+
+
+def test_unet_up_impl_equivalence():
+    """Whole-net outputs agree between up_impl variants on one variable set."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtnr_tpu.models.unet import UNet
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (1, 32, 48, 5))
+    a = UNet(features=(8, 16), dtype=jnp.float32, up_impl="convt")
+    b = UNet(features=(8, 16), dtype=jnp.float32, up_impl="matmul")
+    v = a.init(key, x)
+    ya = a.apply(v, x)
+    yb = b.apply(v, x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-5)
