@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downsample", type=float, default=1.0, help="per-block keep fraction")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache")
+    p.add_argument("--features", type=int, nargs="+", default=[64, 128, 256, 512],
+                   help="U-Net feature widths (must match the checkpoint)")
     p.add_argument("--timings", action="store_true",
                    help="per-stage RENDER_TIME (projection/filter/unet) per "
                         "frame — runs stages as separate synchronized "
@@ -62,9 +64,9 @@ def main(argv=None) -> int:
 
     from rtnr_tpu.camera import Camera, Trajectory
     from rtnr_tpu.config import RenderConfig
-    from rtnr_tpu.models.convert import load_torch_checkpoint
     from rtnr_tpu.pipeline import Renderer
     from rtnr_tpu.scene import Scene
+    from rtnr_tpu.utils.checkpoint import load_unet_variables
     from rtnr_tpu.utils.image import write_png
 
     camera = Camera.load_calibration(args.calibration)
@@ -89,9 +91,9 @@ def main(argv=None) -> int:
         if args.ckpt is None:
             print("--stage=full requires --ckpt", file=sys.stderr)
             return 1
-        variables = load_torch_checkpoint(args.ckpt)
+        variables = load_unet_variables(args.ckpt)
 
-    config = RenderConfig(stage_timing=args.timings)
+    config = RenderConfig(stage_timing=args.timings, unet_features=tuple(args.features))
     renderer = Renderer(scene, config=config, unet_variables=variables)
 
     outdir = Path(args.output)
