@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downsample", type=float, default=1.0, help="per-block keep fraction")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache")
+    p.add_argument("--cull-budget", type=int, default=0,
+                   help="enable block-grid frustum culling with this many "
+                        "point slots (0 = off); compaction is cached across "
+                        "nearby frames")
     p.add_argument("--features", type=int, nargs="+", default=[64, 128, 256, 512],
                    help="U-Net feature widths (must match the checkpoint)")
     p.add_argument("--timings", action="store_true",
@@ -94,7 +98,8 @@ def main(argv=None) -> int:
         variables = load_unet_variables(args.ckpt)
 
     config = RenderConfig(stage_timing=args.timings, unet_features=tuple(args.features))
-    renderer = Renderer(scene, config=config, unet_variables=variables)
+    renderer = Renderer(scene, config=config, unet_variables=variables,
+                        cull_budget=args.cull_budget or None)
 
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)

@@ -21,7 +21,7 @@ tensor is bilinearly resized to the skip's shape, matching the reference's
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,32 +126,87 @@ class ConvTranspose2x2MatMul(nn.Module):
         return y + bias
 
 
+class ConvSplitInput(nn.Module):
+    """3x3 conv over the *virtual* concat of two inputs, without the concat.
+
+    ``conv(concat([a, b], -1), kernel)`` == ``conv(a, kernel[:, :, :Ca]) +
+    conv(b, kernel[:, :, Ca:])`` — same contraction split over the channel
+    dim. The parameter is the SAME single (3, 3, Ca+Cb, F) kernel (plus
+    optional bias), so checkpoints are interchangeable with the concat
+    form; what changes is that XLA never materializes (and never
+    layout-pads) the concatenated skip+upsample tensor.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, ca + cb, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        a, b, kernel, bias = nn.dtypes.promote_dtype(a, b, kernel, bias, dtype=self.dtype)
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = conv(a, kernel[:, :, :ca]) + conv(b, kernel[:, :, ca:])
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class DoubleConv(nn.Module):
     """(Conv3x3 no-bias -> BatchNorm -> ReLU) x 2 (reference model.py:5-19).
 
     With ``fold_bn=True`` the BN is assumed pre-folded into the conv
     (rtnr_tpu.models.fold_bn): conv carries a bias and no BN runs —
-    the fast inference configuration."""
+    the fast inference configuration.
+
+    When ``x2`` is passed, the first conv runs over the virtual concat
+    [x, x2] via ``ConvSplitInput`` (identical parameters/result, no
+    materialized concat)."""
 
     features: int
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    tiny_cin_im2col: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, x2: Optional[jax.Array] = None
+    ) -> jax.Array:
         for i in range(2):
-            # im2col lowering for tiny input-channel counts (the 5-channel
-            # packed input) where XLA's native conv emitter is pathological.
-            conv_cls = nn.Conv if x.shape[-1] * 9 > 128 else Conv3x3Im2col
-            x = conv_cls(
-                self.features,
-                kernel_size=(3, 3),
-                strides=(1, 1),
-                padding=((1, 1), (1, 1)),
-                use_bias=self.fold_bn,
-                dtype=self.dtype,
-                name=f"conv{i}",
-            )(x)
+            if i == 0 and x2 is not None:
+                x = ConvSplitInput(
+                    self.features, dtype=self.dtype, use_bias=self.fold_bn, name="conv0"
+                )(x, x2)
+            else:
+                # im2col lowering for tiny input-channel counts (the
+                # 5-channel packed input) where XLA's native conv emitter
+                # is pathological.
+                use_im2col = self.tiny_cin_im2col and x.shape[-1] * 9 <= 128
+                conv_cls = Conv3x3Im2col if use_im2col else nn.Conv
+                x = conv_cls(
+                    self.features,
+                    kernel_size=(3, 3),
+                    strides=(1, 1),
+                    padding=((1, 1), (1, 1)),
+                    use_bias=self.fold_bn,
+                    dtype=self.dtype,
+                    name=f"conv{i}",
+                )(x)
             if not self.fold_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -171,18 +226,38 @@ class UNet(nn.Module):
     out_channels: int = 3
     dtype: Any = jnp.float32
     fold_bn: bool = False
-    # "matmul": ConvTranspose2x2MatMul (same params/math, MXU-friendly dot);
-    # "convt": XLA's native transposed-conv lowering (parity foil)
-    up_impl: str = "matmul"
+    # tiny-Cin im2col lowering switch (see Conv3x3Im2col); measured both
+    # ways on v5e via scripts/bench_parts.py
+    tiny_cin_im2col: bool = True
+    # "reduce_window": nn.max_pool; "slice_max": max of the four stride-2
+    # slices — same values, fuses without the relayout copies XLA inserts
+    # around reduce_window at large shapes (see /tmp hlo_stats analysis)
+    pool_impl: str = "reduce_window"
+    # "concat": materialize [skip, up] then DoubleConv; "split": virtual
+    # concat via ConvSplitInput (same params, no concat/pad relayouts)
+    skip_concat: str = "concat"
+    # "convt": XLA's native transposed-conv lowering; "matmul": exact
+    # matmul+depth-to-space rewrite (ConvTranspose2x2MatMul). Measured on
+    # v5e (scripts/profile_layers2.py): convT is bandwidth-bound and FASTER
+    # than the matmul form (whose pixel-shuffle transpose costs a relayout
+    # pass), so convt stays the default; matmul is kept as a measured foil.
+    up_impl: str = "convt"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = x.astype(self.dtype)
         skips = []
         for i, f in enumerate(self.features):
-            x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn, name=f"down{i}")(x, train)
+            x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
+                           tiny_cin_im2col=self.tiny_cin_im2col, name=f"down{i}")(x, train)
             skips.append(x)
-            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+            if self.pool_impl == "slice_max":
+                x = jnp.maximum(
+                    jnp.maximum(x[:, ::2, ::2], x[:, 1::2, ::2]),
+                    jnp.maximum(x[:, ::2, 1::2], x[:, 1::2, 1::2]),
+                )
+            else:
+                x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
         x = DoubleConv(self.features[-1] * 2, dtype=self.dtype, fold_bn=self.fold_bn, name="bottleneck")(x, train)
 
@@ -203,8 +278,12 @@ class UNet(nn.Module):
                 x = jax.image.resize(
                     x, (x.shape[0], skip.shape[1], skip.shape[2], x.shape[3]), "bilinear"
                 )
-            x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
-            x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn, name=f"updc{i}")(x, train)
+            if self.skip_concat == "split":
+                x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
+                               name=f"updc{i}")(skip, train, x2=x.astype(skip.dtype))
+            else:
+                x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+                x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn, name=f"updc{i}")(x, train)
 
         return nn.Conv(
             self.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="final_conv"

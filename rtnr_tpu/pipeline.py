@@ -196,12 +196,33 @@ class Renderer:
         config: RenderConfig = RenderConfig(),
         unet_variables: Any = None,
         pad_points_to: int = 1024,
+        cull_budget: Optional[int] = None,
+        cull_margin_px: float = 96.0,
+        cull_inflate_m: float = 0.5,
     ):
+        """``cull_budget`` enables frustum culling on the 0.25 m block grid
+        (the spatial structure the reference builds but never uses,
+        SURVEY.md §2): per view, points of out-of-frustum blocks are
+        compacted away into a fixed ``cull_budget``-point buffer, shrinking
+        the per-frame sort. The compaction is CACHED and reused while the
+        camera stays within ``cull_inflate_m`` meters / a rotation bounded
+        by ``cull_margin_px`` pixels of the compaction pose (block AABBs are
+        inflated by the same amount, so reuse is conservative, not
+        approximate). Budget overflow drops points — size it from the
+        scene's worst expected visibility."""
         self.config = config
         pts, cols, valid = scene.sorted_by_block().device_arrays(pad_points_to)
         self.points = jnp.asarray(pts)
         self.colors = jnp.asarray(cols)
         self.valid = jnp.asarray(valid)
+        self.cull_budget = cull_budget
+        self.cull_margin_px = float(cull_margin_px)
+        self.cull_inflate_m = float(cull_inflate_m)
+        self._cull_cache: Optional[dict] = None
+        if cull_budget:
+            from rtnr_tpu.ops.culling import build_block_index
+
+            self._block_index = build_block_index(scene, pad_to_multiple=pad_points_to)
         dtype = jnp.bfloat16 if config.unet_dtype == "bf16" else jnp.float32
         # Inference fast path: fold BatchNorm into the convs (see
         # models/fold_bn.py) whenever the checkpoint still carries running
@@ -224,10 +245,54 @@ class Renderer:
     def _cam_proj(self, camera: Camera, extrinsics: np.ndarray) -> jax.Array:
         return jnp.asarray(camera.cam_proj(extrinsics), dtype=jnp.float32)
 
+    def _view_points(
+        self, camera: Camera, extrinsics: np.ndarray
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Scene arrays for this view: full cloud, or the cached culled
+        compaction (recomputed only when the pose leaves the cached
+        compaction's conservative validity region)."""
+        if not self.cull_budget:
+            return self.points, self.colors, self.valid
+        E = np.asarray(extrinsics, np.float64)
+        R, t = E[:3, :3], E[:3, 3]
+        C = -R.T @ t  # camera center in world space
+        f = min(camera.fx, camera.fy)
+        # rotation budget: pixel shift at the image edge <= margin/2
+        # (shift <= f * dtheta * sec^2(alpha_max), alpha_max at the corner)
+        sec2 = 1.0 + (max(camera.width, camera.height) / (2.0 * f)) ** 2
+        rot_budget_rad = self.cull_margin_px / (2.0 * f * sec2)
+
+        cache = self._cull_cache
+        if cache is not None and cache["wh"] == (camera.width, camera.height):
+            cosang = (np.trace(cache["R"].T @ R) - 1.0) / 2.0
+            ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
+            if (
+                float(np.linalg.norm(C - cache["C"])) <= self.cull_inflate_m
+                and ang <= rot_budget_rad
+            ):
+                return cache["arrays"]
+
+        from rtnr_tpu.ops.culling import compact_points, cull_points
+
+        M = self._cam_proj(camera, extrinsics)
+        keep = cull_points(
+            self._block_index, M, self.valid,
+            width=camera.width, height=camera.height,
+            margin=self.cull_margin_px, inflate_m=self.cull_inflate_m,
+        )
+        arrays = compact_points(self.points, self.colors, keep, self.cull_budget)
+        self._cull_cache = {
+            "arrays": arrays, "C": C, "R": R,
+            "wh": (camera.width, camera.height),
+            "n_kept": int(np.asarray(jnp.sum(keep.astype(jnp.int32)))),
+        }
+        return arrays
+
     def compute_rgbd(self, camera: Camera, extrinsics: np.ndarray) -> Dict[str, np.ndarray]:
+        pts, cols, valid = self._view_points(camera, extrinsics)
         t0 = time.perf_counter()
         out = render_rgbd(
-            self.points, self.colors, self.valid, self._cam_proj(camera, extrinsics),
+            pts, cols, valid, self._cam_proj(camera, extrinsics),
             width=camera.width, height=camera.height, depth_band=self.config.depth_band,
         )
         out = jax.block_until_ready(out)
@@ -240,11 +305,12 @@ class Renderer:
     ) -> Dict[str, np.ndarray]:
         if timings or getattr(self.config, "stage_timing", False):
             stage_raster, stage_filter, _ = self._stage_jits()
+            pts, cols, valid = self._view_points(camera, extrinsics)
             w, h = camera.width, camera.height
             M = self._cam_proj(camera, extrinsics)
             t0 = time.perf_counter()
             raw_rgb, raw_depth = jax.block_until_ready(
-                stage_raster(self.points, self.colors, self.valid, M, width=w, height=h)
+                stage_raster(pts, cols, valid, M, width=w, height=h)
             )
             t1 = time.perf_counter()
             mid = jax.block_until_ready(stage_filter(raw_rgb, raw_depth, height=h, width=w))
@@ -255,9 +321,10 @@ class Renderer:
             )
             out = dict(mid, raw_rgb=raw_rgb, raw_depth=raw_depth)
             return {k: np.asarray(v) for k, v in out.items()}
+        pts, cols, valid = self._view_points(camera, extrinsics)
         t0 = time.perf_counter()
         out = render_filtered(
-            self.points, self.colors, self.valid, self._cam_proj(camera, extrinsics),
+            pts, cols, valid, self._cam_proj(camera, extrinsics),
             width=camera.width, height=camera.height, depth_band=self.config.depth_band,
             levels=self.config.pyramid_levels,
             filter_strength=self.config.filter_strength,
@@ -268,9 +335,9 @@ class Renderer:
         self.last_timings = FrameTimings(filter_ms=dt, total_ms=dt)
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def _full_impl(self, cam_proj, unet_variables, *, width, height):
+    def _full_impl(self, points, colors, valid, cam_proj, unet_variables, *, width, height):
         return render_full(
-            self.points, self.colors, self.valid, cam_proj, self.unet, unet_variables,
+            points, colors, valid, cam_proj, self.unet, unet_variables,
             width=width, height=height, depth_band=self.config.depth_band,
             levels=self.config.pyramid_levels,
             filter_strength=self.config.filter_strength,
@@ -291,9 +358,10 @@ class Renderer:
             raise RuntimeError("No U-Net variables given; compute_full unavailable.")
         if timings or getattr(self.config, "stage_timing", False):
             return self._compute_full_staged(camera, extrinsics)
+        pts, cols, valid = self._view_points(camera, extrinsics)
         t0 = time.perf_counter()
         out = self._full_jit(
-            self._cam_proj(camera, extrinsics), self.unet_variables,
+            pts, cols, valid, self._cam_proj(camera, extrinsics), self.unet_variables,
             width=camera.width, height=camera.height,
         )
         out = jax.block_until_ready(out)
@@ -342,12 +410,13 @@ class Renderer:
 
     def _compute_full_staged(self, camera: Camera, extrinsics: np.ndarray) -> Dict[str, np.ndarray]:
         stage_raster, stage_filter, stage_unet = self._stage_jits()
+        pts, cols, valid = self._view_points(camera, extrinsics)
         w, h = camera.width, camera.height
         M = self._cam_proj(camera, extrinsics)
 
         t0 = time.perf_counter()
         raw_rgb, raw_depth = jax.block_until_ready(
-            stage_raster(self.points, self.colors, self.valid, M, width=w, height=h)
+            stage_raster(pts, cols, valid, M, width=w, height=h)
         )
         t1 = time.perf_counter()
         mid = jax.block_until_ready(stage_filter(raw_rgb, raw_depth, height=h, width=w))

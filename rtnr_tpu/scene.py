@@ -111,6 +111,59 @@ class Scene:
         cols = rng.integers(0, 256, size=(n_points, 3), dtype=np.uint8)
         return cls.from_arrays(pts, cols, block_size_m)
 
+    @classmethod
+    def synthetic_room(
+        cls,
+        n_points: int = 1_000_000,
+        seed: int = 0,
+        size: Tuple[float, float, float] = (12.0, 8.0, 3.0),
+        n_clusters: int = 24,
+        block_size_m: float = RenderConfig.block_size_m,
+    ) -> "Scene":
+        """Room-scan-shaped cloud: points on the six walls plus furniture-like
+        blobs — the realistic LiDAR distribution where frustum culling on the
+        block grid pays off (a camera inside the room never sees every wall),
+        unlike ``synthetic``'s uniform box."""
+        rng = np.random.default_rng(seed)
+        sx, sy, sz = size
+        n_wall = int(n_points * 0.7)
+        n_blob = n_points - n_wall
+
+        # areas of the 6 faces -> proportional point counts
+        areas = np.array([sy * sz, sy * sz, sx * sz, sx * sz, sx * sy, sx * sy])
+        counts = (areas / areas.sum() * n_wall).astype(int)
+        counts[-1] += n_wall - counts.sum()
+        faces = []
+        for f, c in enumerate(counts):
+            u = rng.uniform(0, 1, (c, 2))
+            p = np.empty((c, 3), np.float32)
+            axis = f // 2
+            sign = f % 2
+            dims = [d for d in range(3) if d != axis]
+            p[:, dims[0]] = (u[:, 0] - 0.5) * size[dims[0]]
+            p[:, dims[1]] = (u[:, 1] - 0.5) * size[dims[1]]
+            p[:, axis] = (0.5 if sign else -0.5) * size[axis]
+            # 1cm scan noise
+            p += rng.normal(0, 0.01, p.shape).astype(np.float32)
+            faces.append(p)
+        centers = np.stack(
+            [
+                rng.uniform(-sx / 2 * 0.8, sx / 2 * 0.8, n_clusters),
+                rng.uniform(-sy / 2 * 0.8, sy / 2 * 0.8, n_clusters),
+                rng.uniform(-sz / 2, -sz / 2 * 0.2, n_clusters),
+            ],
+            axis=1,
+        )
+        per = np.full(n_clusters, n_blob // n_clusters)
+        per[: n_blob % n_clusters] += 1
+        blobs = [
+            (c + rng.normal(0, 0.25, (k, 3))).astype(np.float32)
+            for c, k in zip(centers, per)
+        ]
+        pts = np.concatenate(faces + blobs).astype(np.float32)
+        cols = rng.integers(0, 256, size=(len(pts), 3), dtype=np.uint8)
+        return cls.from_arrays(pts, cols, block_size_m)
+
     # ------------------------------------------------------------------
     # Disk cache (load-or-rebuild, like reference cloudreader.cpp:180-216)
     # ------------------------------------------------------------------

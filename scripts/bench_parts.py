@@ -49,7 +49,14 @@ def bench_unet():
 
     H, W = pyramid_pad_shape(HEIGHT, WIDTH, 4)
     features = (64, 128, 256, 512)
-    unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True)
+    variant = dict(
+        tiny_cin_im2col=os.environ.get("UNET_IM2COL", "1") == "1",
+        pool_impl=os.environ.get("UNET_POOL", "reduce_window"),
+        skip_concat=os.environ.get("UNET_SKIP", "concat"),
+        up_impl=os.environ.get("UNET_UP", "convt"),
+    )
+    print(f"unet variant: {variant}", flush=True)
+    unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True, **variant)
     with jax.default_device(jax.devices("cpu")[0]):
         _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
     variables = jax.device_put(fold_batchnorm(raw))

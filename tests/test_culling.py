@@ -77,3 +77,88 @@ def test_compact_overflow_drops(setup):
     keep = jnp.asarray(valid)
     cpts, ccols, cvalid = compact_points(jnp.asarray(pts), jnp.asarray(cols), keep, 100)
     assert int(cvalid.sum()) == 100  # clipped at budget
+
+
+# ---------------------------------------------------------------------------
+# Renderer-integrated culling (cached compaction)
+# ---------------------------------------------------------------------------
+def test_renderer_culled_equals_full_room():
+    """A camera inside a room sees a strict subset of blocks; the culled
+    render must be bit-identical to the full render (generous budget)."""
+    import jax.numpy as jnp
+
+    from rtnr_tpu.camera import Camera
+    from rtnr_tpu.pipeline import Renderer
+
+    scene = Scene.synthetic_room(60_000, seed=3)
+    cam = Camera.from_params(80.0, 80.0, 48, 32, 96, 64)
+    # camera near a corner looking across the room
+    E = np.eye(4)
+    E[2, 3] = 4.0
+    E[0, 3] = 1.0
+
+    full = Renderer(scene)
+    culled = Renderer(scene, cull_budget=60_000)
+    a = full.compute_rgbd(cam, E)
+    b = culled.compute_rgbd(cam, E)
+    np.testing.assert_array_equal(a["depth"], b["depth"])
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+    # culling actually removed something on this scene
+    assert culled._cull_cache["n_kept"] < scene.n_points
+
+
+def test_renderer_cull_cache_reuse_and_invalidation():
+    """Within the inflate radius the compaction is reused (and stays exact);
+    beyond it, it recomputes."""
+    from rtnr_tpu.camera import Camera
+    from rtnr_tpu.pipeline import Renderer
+
+    scene = Scene.synthetic_room(40_000, seed=4)
+    cam = Camera.from_params(80.0, 80.0, 48, 32, 96, 64)
+    full = Renderer(scene)
+    culled = Renderer(scene, cull_budget=40_000, cull_inflate_m=0.5)
+
+    E = np.eye(4)
+    E[2, 3] = 3.5
+    culled.compute_rgbd(cam, E)
+    cache0 = culled._cull_cache
+    # small translation: reuse
+    E2 = E.copy()
+    E2[0, 3] += 0.2  # camera center moves 0.2 m < 0.5 m
+    a = full.compute_rgbd(cam, E2)
+    b = culled.compute_rgbd(cam, E2)
+    assert culled._cull_cache is cache0  # reused
+    np.testing.assert_array_equal(a["depth"], b["depth"])
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+    # big translation: recompute, still exact
+    E3 = E.copy()
+    E3[0, 3] += 2.0
+    a = full.compute_rgbd(cam, E3)
+    b = culled.compute_rgbd(cam, E3)
+    assert culled._cull_cache is not cache0
+    np.testing.assert_array_equal(a["depth"], b["depth"])
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+
+
+def test_compact_points_sort_based():
+    """Sort-based compaction keeps exactly the masked points, in order."""
+    rng = np.random.default_rng(5)
+    n = 1000
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    cols = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    keep = rng.random(n) < 0.3
+    import jax.numpy as jnp
+
+    out_p, out_c, out_v = compact_points(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(keep), 512
+    )
+    k = int(keep.sum())
+    assert int(np.asarray(out_v).sum()) == k
+    np.testing.assert_array_equal(np.asarray(out_p)[:k], pts[keep])
+    np.testing.assert_array_equal(np.asarray(out_c)[:k], cols[keep])
+    # overflow: budget smaller than kept count drops the tail
+    out_p2, _, out_v2 = compact_points(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(keep), 100
+    )
+    assert int(np.asarray(out_v2).sum()) == 100
+    np.testing.assert_array_equal(np.asarray(out_p2), pts[keep][:100])

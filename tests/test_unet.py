@@ -175,3 +175,48 @@ def test_unet_up_impl_equivalence():
     ya = a.apply(v, x)
     yb = b.apply(v, x)
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-5)
+
+
+def test_unet_lowering_variants_equivalence():
+    """All lowering flags (pool_impl / skip_concat / tiny_cin_im2col) are
+    exact rewrites: same variables -> same outputs (f32, tight tol)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtnr_tpu.models.unet import UNet
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (1, 32, 48, 5))
+    base = UNet(features=(8, 16))
+    v = base.init(key, x)
+    y0 = np.asarray(base.apply(v, x))
+    for pool, skip, im2col in itertools.product(
+        ("reduce_window", "slice_max"), ("concat", "split"), (True, False)
+    ):
+        m = UNet(features=(8, 16), pool_impl=pool, skip_concat=skip,
+                 tiny_cin_im2col=im2col)
+        y = np.asarray(m.apply(v, x))
+        np.testing.assert_allclose(
+            y, y0, atol=5e-6, err_msg=f"pool={pool} skip={skip} im2col={im2col}"
+        )
+
+
+def test_unet_variants_equivalence_folded_bn():
+    """Variant parity also holds for the folded-BN inference config."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+    from rtnr_tpu.models.unet import UNet, init_unet
+
+    _, raw = init_unet(jax.random.PRNGKey(4), 32, 48, features=(8, 16))
+    v = fold_batchnorm(raw)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 48, 5))
+    a = UNet(features=(8, 16), fold_bn=True)
+    b = UNet(features=(8, 16), fold_bn=True, pool_impl="slice_max",
+             skip_concat="split", tiny_cin_im2col=False)
+    np.testing.assert_allclose(
+        np.asarray(a.apply(v, x)), np.asarray(b.apply(v, x)), atol=5e-6
+    )
