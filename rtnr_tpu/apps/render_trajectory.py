@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downsample", type=float, default=1.0, help="per-block keep fraction")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache")
+    p.add_argument("--tiles", type=int, default=0,
+                   help="shard the image into N row strips over an N-device "
+                        "mesh with per-strip block-grid candidate gather "
+                        "(projection stage only)")
     p.add_argument("--cull-budget", type=int, default=0,
                    help="enable block-grid frustum culling with this many "
                         "point slots (0 = off); compaction is cached across "
@@ -117,6 +121,33 @@ def main(argv=None) -> int:
         write_png(outdir / name.replace(".png", "_depth.png"), dn.astype(np.uint8))
 
     t_start = time.perf_counter()
+    if args.tiles > 1:
+        if args.stage != "project":
+            print("--tiles supports --stage project only", file=sys.stderr)
+            return 1
+        from rtnr_tpu.ops.culling import build_block_index
+        from rtnr_tpu.parallel import make_mesh
+        from rtnr_tpu.parallel.tiles import rasterize_tile_sharded
+
+        mesh = make_mesh((args.tiles,), ("tiles",))
+        index = build_block_index(scene, pad_to_multiple=1024)
+        pts, cols, validm = renderer.points, renderer.colors, renderer.valid
+        for i in range(len(trajectory)):
+            M = jnp.asarray(camera.cam_proj(trajectory.world_to_cam(i)), jnp.float32)
+            rgb, depth, cand = rasterize_tile_sharded(
+                pts, cols, validm, M, mesh, width=camera.width, height=camera.height,
+                block_index=index,
+            )
+            write_png(outdir / frame_name(i), np.asarray(rgb))
+            if args.depth:
+                write_depth(frame_name(i), np.asarray(depth))
+            print(f"[{i + 1}/{len(trajectory)}] {frame_name(i)}  "
+                  f"strip candidates: {np.asarray(cand).tolist()}")
+        total = time.perf_counter() - t_start
+        print(json.dumps({"frames": len(trajectory), "seconds": round(total, 3),
+                          "fps": round(len(trajectory) / max(total, 1e-9), 2),
+                          "stage": args.stage, "tiles": args.tiles}))
+        return 0
     if args.batch > 0:
         # Batched path: frames data-parallel over the device mesh
         # (replaces the reference's serial per-frame loop, main.cpp:92-100).

@@ -34,11 +34,11 @@ def test_identical_across_runs_and_shardings():
 
     shardings = [
         rasterize_point_sharded(*args, v, M, make_mesh((1, 8)), width=64, height=64),
-        rasterize_tile_sharded(*args, v, M, make_mesh((8,), ("tiles",)), width=64, height=64),
+        rasterize_tile_sharded(*args, v, M, make_mesh((8,), ("tiles",)), width=64, height=64)[:2],
         rasterize_tile_sharded(
             *args, v, M, make_mesh((4, 2), ("tiles", "points")),
             width=64, height=64, points_axis="points",
-        ),
+        )[:2],
     ]
     for rgb, depth in shardings:
         np.testing.assert_array_equal(np.asarray(rgb), runs[0])

@@ -41,7 +41,7 @@ def test_strip_projection_math(setup):
 def test_tiles_only_matches_single(setup):
     pts, cols, valid, M, cam = setup
     mesh = make_mesh((8,), ("tiles",))
-    rgb_t, d_t = rasterize_tile_sharded(
+    rgb_t, d_t, _ = rasterize_tile_sharded(
         pts, cols, valid, M, mesh, width=cam.width, height=cam.height,
     )
     rgb_1, d_1 = rasterize(pts, cols, M, width=cam.width, height=cam.height, valid=valid)
@@ -52,7 +52,7 @@ def test_tiles_only_matches_single(setup):
 def test_tiles_by_points_matches_single(setup):
     pts, cols, valid, M, cam = setup
     mesh = make_mesh((2, 4), ("tiles", "points"))
-    rgb_t, d_t = rasterize_tile_sharded(
+    rgb_t, d_t, _ = rasterize_tile_sharded(
         pts, cols, valid, M, mesh, width=cam.width, height=cam.height,
         points_axis="points",
     )
@@ -66,3 +66,36 @@ def test_tiles_require_divisible_height(setup):
     mesh = make_mesh((8,), ("tiles",))
     with pytest.raises(AssertionError, match="strips"):
         rasterize_tile_sharded(pts, cols, valid, M, mesh, width=64, height=60)
+
+
+def test_tiles_candidate_gather_matches_and_reduces(setup):
+    """Per-strip block-grid candidate gather: identical image, and every
+    strip sorts strictly fewer points than the whole cloud (room scene)."""
+    from rtnr_tpu.ops.culling import build_block_index
+    from rtnr_tpu.scene import Scene
+
+    scene = Scene.synthetic_room(40_000, seed=9)
+    s = scene.sorted_by_block()
+    pts_r, cols_r, valid_r = s.device_arrays(8)
+    pts, cols, valid = jnp.asarray(pts_r), jnp.asarray(cols_r), jnp.asarray(valid_r)
+    from rtnr_tpu.camera import Camera
+
+    cam = Camera.from_params(80.0, 80.0, 32, 32, 64, 64)
+    E = np.eye(4)
+    E[2, 3] = 3.0
+    M = jnp.asarray(cam.cam_proj(E), jnp.float32)
+    index = build_block_index(scene, pad_to_multiple=8)
+
+    mesh = make_mesh((8,), ("tiles",))
+    rgb_t, d_t, cand = rasterize_tile_sharded(
+        pts, cols, valid, M, mesh, width=64, height=64,
+        block_index=index, tile_budget=pts.shape[0],
+    )
+    rgb_1, d_1 = rasterize(pts, cols, M, width=64, height=64, valid=valid)
+    np.testing.assert_array_equal(np.asarray(d_t), np.asarray(d_1))
+    np.testing.assert_array_equal(np.asarray(rgb_t), np.asarray(rgb_1))
+    cand = np.asarray(cand)
+    n_valid = int(np.asarray(valid).sum())
+    assert cand.shape == (8,)
+    assert (cand < n_valid).all(), cand
+    assert cand.sum() < 3 * n_valid  # strips overlap (block granularity) but not by much
