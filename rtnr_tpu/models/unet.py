@@ -234,8 +234,13 @@ class UNet(nn.Module):
     # around reduce_window at large shapes (see /tmp hlo_stats analysis)
     pool_impl: str = "reduce_window"
     # "concat": materialize [skip, up] then DoubleConv; "split": virtual
-    # concat via ConvSplitInput (same params, no concat/pad relayouts)
-    skip_concat: str = "concat"
+    # concat via ConvSplitInput (same params, no concat/pad relayouts).
+    # Measured on v5e at 1088x1920 (scripts/bench_parts.py): split 39.8 ms
+    # vs concat 42.0 ms per apply — split is the default. (The other
+    # lowering flags measured SLOWER and keep their XLA-native defaults:
+    # im2col-off 49.1 ms, slice_max pool 94.7 ms, matmul up_impl worse in
+    # isolation; kept as measured foils.)
+    skip_concat: str = "split"
     # "convt": XLA's native transposed-conv lowering; "matmul": exact
     # matmul+depth-to-space rewrite (ConvTranspose2x2MatMul). Measured on
     # v5e (scripts/profile_layers2.py): convT is bandwidth-bound and FASTER

@@ -377,6 +377,12 @@ def _raster_sums(
     sp = project_and_sort(points, colors, cam_proj, width=width, height=height, valid=valid)
     if sp.pix.shape[0] >= (1 << 17):
         if jax.default_backend() == "tpu":
+            import os
+
+            if os.environ.get("RTNR_RESOLVE", "v3") == "v3":
+                from rtnr_tpu.ops.raster_pallas3 import raster_images_pallas3
+
+                return raster_images_pallas3(sp, hw, depth_band)
             from rtnr_tpu.ops.raster_pallas2 import raster_images_pallas2
 
             return raster_images_pallas2(sp, hw, depth_band)

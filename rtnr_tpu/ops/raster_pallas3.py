@@ -143,15 +143,26 @@ def _resolve_kernel3(
     prev_pix = jnp.where(lane == 0, prev_last, pix_rolled)
     is_head = pix != prev_pix
 
-    # ---- contribution cumsum: ONE MXU matmul against triangular ones ----
+    # ---- contribution cumsum: MXU matmuls against triangular ones, in
+    # TS-lane blocks with a running per-row carry (keeps the constant
+    # triangular matrix at (TS, TS) so VMEM stays within budget) ----
     X = jnp.concatenate([r * real, g * real, b * real, real], axis=0)  # (32, Lc)
-    Xg_f = jax.lax.dot_general(
-        X.astype(jnp.bfloat16),
-        tri_v[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    X_lane = Xg_f.astype(_I32)  # per-row inclusive csum (32, Lc), exact
+    TS = tri_v.shape[0]
+    xb = X.astype(jnp.bfloat16)
+    blocks = []
+    carry32 = jnp.zeros((32, 1), jnp.float32)
+    for jb in range(Lc // TS):
+        blk = jax.lax.dot_general(
+            xb[:, jb * TS : (jb + 1) * TS],
+            tri_v[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + carry32
+        blocks.append(blk)
+        # last lane via roll (a direct [:, -1:] slice leaves a lane-offset
+        # layout Mosaic can't combine with offset-0 operands)
+        carry32 = pltpu.roll(blk, 1, axis=1)[:, 0:1]
+    X_lane = jnp.concatenate(blocks, axis=1).astype(_I32)  # (32, Lc), exact
     # cross-row stitch: exclusive prefix of row totals within each 8-row group
     T = last_col(X_lane)  # (32, 1) inclusive row totals
     row32 = jax.lax.broadcasted_iota(_I32, (32, 1), 0)
@@ -365,10 +376,13 @@ def raster_images_pallas3(
     zb_p = padit(z_bits, jax.lax.bitcast_convert_type(jnp.float32(jnp.inf), jnp.int32))
     packed_p = padit(packed, jnp.int32(0))
 
-    # constant upper-triangular ones: tri[j, i] = 1 iff j <= i
+    # constant upper-triangular ones: tri[j, i] = 1 iff j <= i, at the
+    # block-scan tile size (VMEM-bounded; see kernel)
+    TS = min(512, Lc)
+    assert Lc % TS == 0
     tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (Lc, Lc), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (Lc, Lc), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (TS, TS), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (TS, TS), 1)
     ).astype(jnp.bfloat16)
 
     out_w = hw + L + 1024
@@ -388,7 +402,7 @@ def raster_images_pallas3(
             pltpu.VMEM((2, 16, Lc), jnp.int32),
             pltpu.VMEM((2, 16, Lc), jnp.int32),
             pltpu.VMEM((2, 8, Lc), jnp.int32),
-            pltpu.VMEM((Lc, Lc), jnp.bfloat16),
+            pltpu.VMEM((TS, TS), jnp.bfloat16),
             pltpu.VMEM((8, L + 256), jnp.int32),
             pltpu.SMEM((16,), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
