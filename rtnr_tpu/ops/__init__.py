@@ -7,7 +7,7 @@ from rtnr_tpu.ops.raster import (
     rasterize_scatter,
     resolve_uint8,
 )
-from rtnr_tpu.ops.raster_diff import rasterize_diff
+from rtnr_tpu.ops.raster_diff import rasterize_diff, rasterize_diff_sorted
 from rtnr_tpu.ops.prefilter import depth_prefilter
 from rtnr_tpu.ops.culling import build_block_index, cull_points, compact_points
 
@@ -19,6 +19,7 @@ __all__ = [
     "rasterize",
     "rasterize_scatter",
     "rasterize_diff",
+    "rasterize_diff_sorted",
     "resolve_uint8",
     "depth_prefilter",
     "build_block_index",

@@ -62,6 +62,8 @@ def _resolve_kernel3(
     S: int,
     hw: int,
     depth_band: float,
+    skip_placement: bool = False,
+    skip_scans: bool = False,
 ):
     L = 8 * Lc
     p = pl.program_id(0)
@@ -186,19 +188,21 @@ def _resolve_kernel3(
 
     # ---- head broadcast: [PR(32 rows), zb(8 rows)] -> (40, Lc) ----
     hp = jnp.where(is_head, lane, -1)
-    s = 1
-    while s < Lc:
-        hp = jnp.maximum(hp, jnp.where(lane >= s, pltpu.roll(hp, s, axis=1), -1))
-        s *= 2
+    if not skip_scans:
+        s = 1
+        while s < Lc:
+            hp = jnp.maximum(hp, jnp.where(lane >= s, pltpu.roll(hp, s, axis=1), -1))
+            s *= 2
     no_head = hp < 0
     dist = lane - jnp.maximum(hp, 0)
 
     H = jnp.concatenate([PR, zb], axis=0)  # (40, Lc)
     dist40 = jnp.concatenate([dist] * 5, axis=0)
-    s = 1
-    while s < Lc:
-        H = jnp.where(dist40 < s, H, pltpu.roll(H, s, axis=1))
-        s *= 2
+    if not skip_scans:
+        s = 1
+        while s < Lc:
+            H = jnp.where(dist40 < s, H, pltpu.roll(H, s, axis=1))
+            s *= 2
 
     # rows whose prefix has no local head take the open segment's value:
     # resolved from earlier rows in the part, else the SMEM carries.
@@ -256,7 +260,7 @@ def _resolve_kernel3(
     slots_masked = jnp.where(winner, pix - o_part, _I32(-1))
 
     o_sub = _I32(0)
-    for c in range(8):
+    for c in range(0 if not skip_placement else 8, 8):
         for j in range(Lc // S):
             sl = slice(j * S, (j + 1) * S)
             w_sub = winner[c : c + 1, sl]
@@ -347,6 +351,8 @@ def raster_images_pallas3(
     part_size: int = 16384,
     sub_chunk: int = 2048,
     interpret: bool = False,
+    skip_placement: bool = False,
+    skip_scans: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) via the
     v3 double-buffered MXU-scan fused resolve. Same contract as
@@ -388,7 +394,8 @@ def raster_images_pallas3(
     out_w = hw + L + 1024
 
     img = pl.pallas_call(
-        functools.partial(_resolve_kernel3, Lc=Lc, S=S, hw=hw, depth_band=depth_band),
+        functools.partial(_resolve_kernel3, Lc=Lc, S=S, hw=hw, depth_band=depth_band,
+                          skip_placement=skip_placement, skip_scans=skip_scans),
         out_shape=jax.ShapeDtypeStruct((8, out_w), jnp.int32),
         grid=(P,),
         in_specs=[
