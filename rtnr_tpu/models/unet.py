@@ -126,6 +126,46 @@ class ConvTranspose2x2MatMul(nn.Module):
         return y + bias
 
 
+class Conv3x3PadIn(nn.Module):
+    """3x3 conv whose tiny logical input-channel count is zero-padded to a
+    hardware-friendly physical count (default 8) at call time.
+
+    The parameter keeps the LOGICAL (3, 3, c_in, F) shape (checkpoint
+    compatible); input and kernel are zero-extended together, so the result
+    is bit-identical to the direct conv while XLA's conv emitter sees a
+    power-of-two channel count."""
+
+    features: int
+    phys_in: int = 8
+    dtype: Any = jnp.float32
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        pad = self.phys_in - c_in
+        if pad > 0:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class ConvSplitInput(nn.Module):
     """3x3 conv over the *virtual* concat of two inputs, without the concat.
 
@@ -181,7 +221,10 @@ class DoubleConv(nn.Module):
     features: int
     dtype: Any = jnp.float32
     fold_bn: bool = False
-    tiny_cin_im2col: bool = True
+    # lowering for tiny input-channel counts (the 5-channel packed input):
+    # "im2col" (explicit patches + one dot), "pad8" (zero-extend channels
+    # to 8, native conv), "native" (XLA conv as-is)
+    tiny_cin_impl: str = "im2col"
 
     @nn.compact
     def __call__(
@@ -192,13 +235,25 @@ class DoubleConv(nn.Module):
                 x = ConvSplitInput(
                     self.features, dtype=self.dtype, use_bias=self.fold_bn, name="conv0"
                 )(x, x2)
+            elif x.shape[-1] * 9 <= 128 and self.tiny_cin_impl == "im2col":
+                x = Conv3x3Im2col(
+                    self.features,
+                    kernel_size=(3, 3),
+                    strides=(1, 1),
+                    padding=((1, 1), (1, 1)),
+                    use_bias=self.fold_bn,
+                    dtype=self.dtype,
+                    name=f"conv{i}",
+                )(x)
+            elif x.shape[-1] * 9 <= 128 and self.tiny_cin_impl == "pad8":
+                x = Conv3x3PadIn(
+                    self.features,
+                    use_bias=self.fold_bn,
+                    dtype=self.dtype,
+                    name=f"conv{i}",
+                )(x)
             else:
-                # im2col lowering for tiny input-channel counts (the
-                # 5-channel packed input) where XLA's native conv emitter
-                # is pathological.
-                use_im2col = self.tiny_cin_im2col and x.shape[-1] * 9 <= 128
-                conv_cls = Conv3x3Im2col if use_im2col else nn.Conv
-                x = conv_cls(
+                x = nn.Conv(
                     self.features,
                     kernel_size=(3, 3),
                     strides=(1, 1),
@@ -226,9 +281,9 @@ class UNet(nn.Module):
     out_channels: int = 3
     dtype: Any = jnp.float32
     fold_bn: bool = False
-    # tiny-Cin im2col lowering switch (see Conv3x3Im2col); measured both
-    # ways on v5e via scripts/bench_parts.py
-    tiny_cin_im2col: bool = True
+    # tiny-Cin input-conv lowering: "im2col" | "pad8" | "native"
+    # (measured on v5e via scripts/bench_parts.py)
+    tiny_cin_impl: str = "im2col"
     # "reduce_window": nn.max_pool; "slice_max": max of the four stride-2
     # slices — same values, fuses without the relayout copies XLA inserts
     # around reduce_window at large shapes (see /tmp hlo_stats analysis)
@@ -254,7 +309,7 @@ class UNet(nn.Module):
         skips = []
         for i, f in enumerate(self.features):
             x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
-                           tiny_cin_im2col=self.tiny_cin_im2col, name=f"down{i}")(x, train)
+                           tiny_cin_impl=self.tiny_cin_impl, name=f"down{i}")(x, train)
             skips.append(x)
             if self.pool_impl == "slice_max":
                 x = jnp.maximum(

@@ -50,7 +50,7 @@ def bench_unet():
     H, W = pyramid_pad_shape(HEIGHT, WIDTH, 4)
     features = (64, 128, 256, 512)
     variant = dict(
-        tiny_cin_im2col=os.environ.get("UNET_IM2COL", "1") == "1",
+        tiny_cin_impl=os.environ.get("UNET_IM2COL", "im2col"),
         pool_impl=os.environ.get("UNET_POOL", "reduce_window"),
         skip_concat=os.environ.get("UNET_SKIP", "concat"),
         up_impl=os.environ.get("UNET_UP", "convt"),

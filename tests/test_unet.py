@@ -193,10 +193,10 @@ def test_unet_lowering_variants_equivalence():
     v = base.init(key, x)
     y0 = np.asarray(base.apply(v, x))
     for pool, skip, im2col in itertools.product(
-        ("reduce_window", "slice_max"), ("concat", "split"), (True, False)
+        ("reduce_window", "slice_max"), ("concat", "split"), ("im2col", "pad8", "native")
     ):
         m = UNet(features=(8, 16), pool_impl=pool, skip_concat=skip,
-                 tiny_cin_im2col=im2col)
+                 tiny_cin_impl=im2col)
         y = np.asarray(m.apply(v, x))
         np.testing.assert_allclose(
             y, y0, atol=5e-6, err_msg=f"pool={pool} skip={skip} im2col={im2col}"
@@ -216,7 +216,7 @@ def test_unet_variants_equivalence_folded_bn():
     x = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 48, 5))
     a = UNet(features=(8, 16), fold_bn=True)
     b = UNet(features=(8, 16), fold_bn=True, pool_impl="slice_max",
-             skip_concat="split", tiny_cin_im2col=False)
+             skip_concat="split", tiny_cin_impl="pad8")
     np.testing.assert_allclose(
         np.asarray(a.apply(v, x)), np.asarray(b.apply(v, x)), atol=5e-6
     )
