@@ -55,12 +55,11 @@ def main():
         np.asarray(run(sp))
         return (time.perf_counter() - t0) / reps * 1e3
 
+    # NOTE: skip_scans poisons the winner/offset carries -> unsafe DMA
+    # offsets (TPU internal error); only skip_placement is a safe ablation.
     print(f"v3 default          : {timed():7.2f} ms", flush=True)
     print(f"v3 skip placement   : {timed(skip_placement=True):7.2f} ms", flush=True)
-    print(f"v3 skip scans       : {timed(skip_scans=True):7.2f} ms", flush=True)
-    print(f"v3 skip both        : {timed(skip_placement=True, skip_scans=True):7.2f} ms",
-          flush=True)
-    for L, S in ((16384, 512), (16384, 1024), (32768, 2048), (32768, 512)):
+    for L, S in ((16384, 512), (16384, 256), (16384, 1024), (32768, 512)):
         print(f"v3 L={L} S={S}: {timed(part_size=L, sub_chunk=S):7.2f} ms", flush=True)
 
 
