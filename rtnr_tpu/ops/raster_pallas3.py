@@ -349,7 +349,7 @@ def raster_images_pallas3(
     hw: int,
     depth_band: float,
     part_size: int = 16384,
-    sub_chunk: int = 2048,
+    sub_chunk: int = 1024,  # measured optimum on v5e (scripts/profile_resolve.py)
     interpret: bool = False,
     skip_placement: bool = False,
     skip_scans: bool = False,
