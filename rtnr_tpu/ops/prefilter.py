@@ -120,29 +120,40 @@ def compare_levels(
 def bilinear_up2(low: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:
     """Exact replica of the reference resizeKernel interpolation
     (project_cloud.cu:136-160): half-pixel centers, indices clamped, weights
-    against the clamped lower index (border extrapolation included)."""
+    against the clamped lower index (border extrapolation included).
+
+    Gather-free formulation (gathers serialize on TPU): with out == 2*low
+    the clamped tap indices are exactly the clamped +-1 row/col shifts of
+    the 2x-repeated image A[y, x] = low[y//2, x//2]:
+        low[y0c[y], x0c[x]] == A[max(y-1, 0), max(x-1, 0)]
+        low[y1c[y], x1c[x]] == A[min(y+1, 2h-1), min(x+1, 2w-1)]
+    so the four corner reads are edge-clamped shifts of A — pure
+    slicing/concat, fully fusable. Weights keep the original construction
+    (identical f32 values), so results are bit-identical.
+    """
     oh, ow = out_shape
     lh, lw = low.shape
+    assert (oh, ow) == (2 * lh, 2 * lw), "bilinear_up2 requires exact 2x upsampling"
 
-    def axis_coeffs(o: int, l: int):
+    def axis_w(o: int, l: int):
         x = np.arange(o, dtype=np.float64)
         inx = (x + 0.5) / 2.0 - 0.5
-        x0 = np.floor(inx).astype(np.int64)
-        x1 = x0 + 1
-        x0c = np.clip(x0, 0, l - 1)
-        x1c = np.clip(x1, 0, l - 1)
-        wx = (inx - x0c).astype(np.float32)
-        return x0c, x1c, wx
+        x0c = np.clip(np.floor(inx).astype(np.int64), 0, l - 1)
+        return (inx - x0c).astype(np.float32)
 
-    y0, y1, wy = axis_coeffs(oh, lh)
-    x0, x1, wx = axis_coeffs(ow, lw)
-    wy = jnp.asarray(wy)[:, None]
-    wx = jnp.asarray(wx)[None, :]
+    wy = jnp.asarray(axis_w(oh, lh))[:, None]
+    wx = jnp.asarray(axis_w(ow, lw))[None, :]
 
-    l00 = low[y0][:, x0]
-    l01 = low[y0][:, x1]
-    l10 = low[y1][:, x0]
-    l11 = low[y1][:, x1]
+    A = jnp.repeat(jnp.repeat(low, 2, axis=0), 2, axis=1)
+    dn = lambda M: jnp.concatenate([M[:1], M[:-1]], axis=0)  # row y -> y-1, clamped
+    up = lambda M: jnp.concatenate([M[1:], M[-1:]], axis=0)  # row y -> y+1, clamped
+    lf = lambda M: jnp.concatenate([M[:, :1], M[:, :-1]], axis=1)
+    rt = lambda M: jnp.concatenate([M[:, 1:], M[:, -1:]], axis=1)
+
+    l00 = dn(lf(A))
+    l01 = dn(rt(A))
+    l10 = up(lf(A))
+    l11 = up(rt(A))
     v0 = (1.0 - wx) * l00 + wx * l01
     v1 = (1.0 - wx) * l10 + wx * l11
     return (1.0 - wy) * v0 + wy * v1
