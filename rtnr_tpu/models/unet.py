@@ -207,6 +207,58 @@ class ConvSplitInput(nn.Module):
         return y
 
 
+class Conv3x3Pallas(nn.Module):
+    """3x3 conv (+ optional fused bias/ReLU) via the Pallas direct kernel
+    (ops/conv_pallas.py) — parameter-compatible with ``nn.Conv`` (same
+    "kernel"/"bias" names and shapes, checkpoints interchange). Two-input
+    form computes conv over the virtual concat (the ConvSplitInput trick).
+
+    Inference-only lowering for the full-resolution 64-channel convs where
+    XLA's N=64 output tile caps the MXU at ~31% (PROFILE_r02.md); the
+    kernel's dy-K/dx-N stacking runs both MXU dims full.
+    """
+
+    features: int
+    use_bias: bool = True
+    relu: bool = False
+    rows_per_step: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x2: Optional[jax.Array] = None) -> jax.Array:
+        from rtnr_tpu.ops.conv_pallas import conv3x3_pallas
+
+        c_in = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,),
+                       jnp.float32)
+            if self.use_bias
+            else None
+        )
+        xs = (x,) if x2 is None else (x, x2)
+        return conv3x3_pallas(
+            [a.astype(jnp.bfloat16) for a in xs], kernel, bias,
+            relu=self.relu, rows_per_step=self.rows_per_step,
+        )
+
+
+def _pallas_conv_ok(x: jax.Array, train: bool, rows_per_step: int = 4) -> bool:
+    """Gate for the Pallas conv lowering: inference, bf16-compatible, TPU
+    backend, large image, kernel shape constraints satisfied."""
+    if train or jax.default_backend() != "tpu":
+        return False
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    return (
+        h * w >= (1 << 20)
+        and w % 16 == 0
+        and h % rows_per_step == 0
+        and (rows_per_step * w) % 16 == 0
+    )
+
+
 class DoubleConv(nn.Module):
     """(Conv3x3 no-bias -> BatchNorm -> ReLU) x 2 (reference model.py:5-19).
 
@@ -225,12 +277,27 @@ class DoubleConv(nn.Module):
     # "im2col" (explicit patches + one dot), "pad8" (zero-extend channels
     # to 8, native conv), "native" (XLA conv as-is)
     tiny_cin_impl: str = "im2col"
+    # "pallas": large-image inference convs run the Pallas direct kernel
+    # (fused bias+ReLU; see Conv3x3Pallas); "xla": native convs everywhere
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False, x2: Optional[jax.Array] = None
     ) -> jax.Array:
         for i in range(2):
+            pallas_ok = (
+                self.conv_impl == "pallas"
+                and self.fold_bn
+                and self.dtype == jnp.bfloat16
+                and x.shape[-1] * 9 > 128  # tiny-Cin keeps its own lowering
+                and _pallas_conv_ok(x, train)
+            )
+            if pallas_ok:
+                x = Conv3x3Pallas(
+                    self.features, use_bias=True, relu=True, name=f"conv{i}"
+                )(x, x2 if i == 0 else None)
+                continue
             if i == 0 and x2 is not None:
                 x = ConvSplitInput(
                     self.features, dtype=self.dtype, use_bias=self.fold_bn, name="conv0"
@@ -296,6 +363,11 @@ class UNet(nn.Module):
     # im2col-off 49.1 ms, slice_max pool 94.7 ms, matmul up_impl worse in
     # isolation; kept as measured foils.)
     skip_concat: str = "split"
+    # "pallas": full-resolution inference convs use the Pallas direct
+    # kernel (ops/conv_pallas.py, fused bias+ReLU); "xla": native convs.
+    # (pallas is opt-in until the kernel clears Mosaic's DMA constraints
+    # at the full-res shape — sub-128 minor dims can't be memref_sliced.)
+    conv_impl: str = "xla"
     # "convt": XLA's native transposed-conv lowering; "matmul": exact
     # matmul+depth-to-space rewrite (ConvTranspose2x2MatMul). Measured on
     # v5e (scripts/profile_layers2.py): convT is bandwidth-bound and FASTER
@@ -309,7 +381,8 @@ class UNet(nn.Module):
         skips = []
         for i, f in enumerate(self.features):
             x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
-                           tiny_cin_impl=self.tiny_cin_impl, name=f"down{i}")(x, train)
+                           tiny_cin_impl=self.tiny_cin_impl,
+                           conv_impl=self.conv_impl, name=f"down{i}")(x, train)
             skips.append(x)
             if self.pool_impl == "slice_max":
                 x = jnp.maximum(
@@ -340,10 +413,12 @@ class UNet(nn.Module):
                 )
             if self.skip_concat == "split":
                 x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
+                               conv_impl=self.conv_impl,
                                name=f"updc{i}")(skip, train, x2=x.astype(skip.dtype))
             else:
                 x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
-                x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn, name=f"updc{i}")(x, train)
+                x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
+                               conv_impl=self.conv_impl, name=f"updc{i}")(x, train)
 
         return nn.Conv(
             self.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="final_conv"

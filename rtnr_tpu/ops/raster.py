@@ -374,12 +374,22 @@ def _raster_sums(
     """Sort-based core: per-pixel (color sums int32 (HW,3), count int32 (HW,),
     min-depth f32 (HW,))."""
     hw = width * height
+    import os
+
+    resolve = os.environ.get("RTNR_RESOLVE", "v4")
+    on_tpu = jax.default_backend() == "tpu"
+    big = points.shape[0] + hw >= (1 << 17)
+    if on_tpu and big and resolve == "v4":
+        # carrier-free: skips sorting H*W carrier elements entirely
+        from rtnr_tpu.ops.raster_pallas4 import raster_images_pallas4
+
+        sp = project_and_sort(points, colors, cam_proj, width=width,
+                              height=height, valid=valid, carriers=False)
+        return raster_images_pallas4(sp, hw, depth_band)
     sp = project_and_sort(points, colors, cam_proj, width=width, height=height, valid=valid)
     if sp.pix.shape[0] >= (1 << 17):
-        if jax.default_backend() == "tpu":
-            import os
-
-            if os.environ.get("RTNR_RESOLVE", "v3") == "v3":
+        if on_tpu:
+            if resolve == "v3" or resolve == "v4":
                 from rtnr_tpu.ops.raster_pallas3 import raster_images_pallas3
 
                 return raster_images_pallas3(sp, hw, depth_band)

@@ -64,6 +64,7 @@ def _resolve_kernel3(
     depth_band: float,
     skip_placement: bool = False,
     skip_scans: bool = False,
+    factored: bool = True,
 ):
     L = 8 * Lc
     p = pl.program_id(0)
@@ -259,6 +260,7 @@ def _resolve_kernel3(
     r_part = carry[12]
     slots_masked = jnp.where(winner, pix - o_part, _I32(-1))
 
+    NQ = S // 128
     o_sub = _I32(0)
     for c in range(0 if not skip_placement else 8, 8):
         for j in range(Lc // S):
@@ -267,10 +269,6 @@ def _resolve_kernel3(
             sl_sub = slots_masked[c : c + 1, sl]
             k_c = jnp.sum(w_sub.astype(_I32))
 
-            sl_col = sl_sub.reshape(S, 1)
-            oh = sl_col - o_sub == jax.lax.broadcasted_iota(_I32, (S, S), 1)
-            oh_bf = oh.astype(jnp.bfloat16)
-
             vals = (SUM[c : c + 1, sl], SUM[8 + c : 9 + c, sl],
                     SUM[16 + c : 17 + c, sl], SUM[24 + c : 25 + c, sl],
                     h_zb[c : c + 1, sl])
@@ -278,24 +276,76 @@ def _resolve_kernel3(
             for v in vals:
                 for shift in (0, 8, 16, 24):
                     rows.append(((v >> shift) & 255).astype(jnp.bfloat16))
-            r20 = jnp.concatenate(rows, axis=0)  # (20, S)
 
-            placed = jax.lax.dot_general(
-                r20, oh_bf,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            placed_i = placed.astype(_I32)
-            out_rows = []
-            for jj in range(5):
-                v = (
-                    placed_i[4 * jj]
-                    | (placed_i[4 * jj + 1] << 8)
-                    | (placed_i[4 * jj + 2] << 16)
-                    | (placed_i[4 * jj + 3] << 24)
+            if factored:
+                # Factorized one-hot: slot d = q*128 + r splits the (S, S)
+                # indicator into Q (NQ, S) and R (S, 128) with
+                # placed[kq, r] = sum_i v_k[i] Q[q, i] R[i, r] — identical
+                # result (slots are unique), same MXU MACs, but the VPU-side
+                # indicator build drops from O(S^2) to O(S*128) per chunk.
+                d_row = sl_sub - o_sub  # (1, S); winners: in [0, k_c)
+                q_iota = jax.lax.broadcasted_iota(_I32, (NQ, S), 0)
+                Q = ((d_row >> 7) == q_iota).astype(jnp.bfloat16)  # (NQ, S)
+                d_col = d_row.reshape(S, 1)
+                R = (
+                    ((d_col & 127) == jax.lax.broadcasted_iota(_I32, (S, 128), 1))
+                    & (d_col >= 0)
+                ).astype(jnp.bfloat16)
+                B = jnp.concatenate([rb * Q for rb in rows], axis=0)  # (20*NQ, S)
+                placed = jax.lax.dot_general(
+                    B, R,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-                out_rows.append(v)
-            out8 = jnp.stack(out_rows + [jnp.zeros_like(out_rows[0])] * 3, axis=0)
+                placed_i = placed.astype(_I32)  # (20*NQ, 128)
+                out_rows = []
+                for jj in range(5):
+                    vblk = (
+                        placed_i[(4 * jj) * NQ : (4 * jj + 1) * NQ]
+                        | (placed_i[(4 * jj + 1) * NQ : (4 * jj + 2) * NQ] << 8)
+                        | (placed_i[(4 * jj + 2) * NQ : (4 * jj + 3) * NQ] << 16)
+                        | (placed_i[(4 * jj + 3) * NQ : (4 * jj + 4) * NQ] << 24)
+                    )  # (NQ, 128): value jj's S outputs as NQ rows
+                    # lane-concat needs every piece at sublane offset 0; row
+                    # slices (and lazy sublane rolls) keep a nonzero offset
+                    # Mosaic's concat rejects, so extract row q as a masked
+                    # sublane REDUCTION (offset-0 by construction)
+                    rq_i = jax.lax.broadcasted_iota(_I32, (NQ, 128), 0)
+                    out_rows.append(
+                        jnp.concatenate(
+                            [
+                                jnp.sum(jnp.where(rq_i == q, vblk, 0), axis=0,
+                                        keepdims=True)
+                                for q in range(NQ)
+                            ],
+                            axis=1,
+                        )
+                        if NQ > 1
+                        else vblk
+                    )
+            else:
+                sl_col = sl_sub.reshape(S, 1)
+                oh = sl_col - o_sub == jax.lax.broadcasted_iota(_I32, (S, S), 1)
+                oh_bf = oh.astype(jnp.bfloat16)
+                r20 = jnp.concatenate(rows, axis=0)  # (20, S)
+                placed = jax.lax.dot_general(
+                    r20, oh_bf,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                placed_i = placed.astype(_I32)
+                out_rows = []
+                for jj in range(5):
+                    v = (
+                        placed_i[4 * jj : 4 * jj + 1]
+                        | (placed_i[4 * jj + 1 : 4 * jj + 2] << 8)
+                        | (placed_i[4 * jj + 2 : 4 * jj + 3] << 16)
+                        | (placed_i[4 * jj + 3 : 4 * jj + 4] << 24)
+                    )
+                    out_rows.append(v)
+            out8 = jnp.concatenate(
+                out_rows + [jnp.zeros((3, S), _I32)], axis=0
+            )  # (8, S)
 
             q = r_part + o_sub
             carry[11] = (q // 128) * 128
@@ -349,10 +399,12 @@ def raster_images_pallas3(
     hw: int,
     depth_band: float,
     part_size: int = 16384,
-    sub_chunk: int = 1024,  # measured optimum on v5e (scripts/profile_resolve.py)
+    sub_chunk: int = 2048,  # v5e optimum w/ factored placement (profile_resolve:
+    # factored S=2048 8.32 ms vs one-hot S=1024 9.11 ms on the 7.07M stream)
     interpret: bool = False,
     skip_placement: bool = False,
     skip_scans: bool = False,
+    factored: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) via the
     v3 double-buffered MXU-scan fused resolve. Same contract as
@@ -395,7 +447,8 @@ def raster_images_pallas3(
 
     img = pl.pallas_call(
         functools.partial(_resolve_kernel3, Lc=Lc, S=S, hw=hw, depth_band=depth_band,
-                          skip_placement=skip_placement, skip_scans=skip_scans),
+                          skip_placement=skip_placement, skip_scans=skip_scans,
+                          factored=factored),
         out_shape=jax.ShapeDtypeStruct((8, out_w), jnp.int32),
         grid=(P,),
         in_specs=[

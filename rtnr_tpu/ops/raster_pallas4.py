@@ -1,0 +1,587 @@
+"""Pallas TPU resolve v4: carrier-free two-kernel raster resolve.
+
+v1-v3 feed the resolve a point stream augmented with one carrier per output
+pixel (ops/raster.py): carriers make per-pixel winners DENSE (the k-th
+winner is pixel k), so a streaming kernel can place finished pixel rows at
+output position == winner rank with bounded per-part windows. The price is
+sorting H*W extra elements — measured 7.4 ms of the 21.1 ms sort at
+5M points / 1080p (PROFILE_r02.md).
+
+v4 drops the carriers and splits the resolve in two:
+
+1. **Winner kernel** (same scans as v3 over the now points-only stream):
+   instead of placing by pixel id, it compacts each winner's finished row
+   (r, g, b, count, depth bits, pixel id) at output position == winner
+   RANK — ranks are dense by construction, restoring the bounded-window
+   invariant without carriers. One extra MXU block-scan computes the rank.
+
+2. **Expansion kernel**: winners are <= 1 per pixel and pixel-sorted, so
+   output part p (a PL-pixel range) consumes a bounded, contiguous window
+   of the winner stream located by a host-side ``searchsorted`` at SE-pixel
+   granularity (scalar-prefetched starts). Each SE-pixel output sub-chunk
+   gathers its <= SE winners from a 128-aligned dynamic window slice and
+   places them with the factored one-hot MXU matmul; untouched pixels keep
+   the empty defaults (count 0, depth FLT_MAX — reference
+   project_cloud.cu:316 seeding).
+
+Bit-exact vs the carrier path (tests/test_raster_pallas4.py). Semantics
+source: reference render.cu:53-163 (see ops/raster.py docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtnr_tpu.ops.raster import SortedPoints
+
+_REAL_BIT = 1 << 24
+_I32 = jnp.int32
+_FLT_MAX_BITS = 0x7F7FFFFF
+
+
+def _winners_kernel4(
+    pix_hbm,  # (P*8+8, Lc) i32
+    zb_hbm,
+    packed_hbm,
+    tri_hbm,  # (TS, TS) bf16 upper-triangular ones
+    wout_hbm,  # (8, out_w) i32: rows r,g,b,count,zbits,pix,0,0 by winner rank
+    pix_v,
+    zb_v,
+    packed_v,
+    tri_v,
+    part_out,
+    carry,  # SMEM (18,)
+    in_sem,
+    tri_sem,
+    out_sem,
+    *,
+    Lc: int,
+    S: int,
+    hw: int,
+    depth_band: float,
+):
+    L = 8 * Lc
+    p = pl.program_id(0)
+    n_parts = pl.num_programs(0)
+    even = jax.lax.rem(p, 2) == 0
+
+    def start_fetch(part, s):
+        pltpu.make_async_copy(
+            pix_hbm.at[pl.ds(part * 8, 16), :], pix_v.at[s], in_sem.at[s, 0]
+        ).start()
+        pltpu.make_async_copy(
+            zb_hbm.at[pl.ds(part * 8, 16), :], zb_v.at[s], in_sem.at[s, 1]
+        ).start()
+        pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(part * 8, 8), :], packed_v.at[s], in_sem.at[s, 2]
+        ).start()
+
+    def wait_fetch(s):
+        pltpu.make_async_copy(pix_hbm.at[pl.ds(0, 16), :], pix_v.at[s], in_sem.at[s, 0]).wait()
+        pltpu.make_async_copy(zb_hbm.at[pl.ds(0, 16), :], zb_v.at[s], in_sem.at[s, 1]).wait()
+        pltpu.make_async_copy(packed_hbm.at[pl.ds(0, 8), :], packed_v.at[s], in_sem.at[s, 2]).wait()
+
+    @pl.when(p == 0)
+    def _():
+        for i in range(18):
+            carry[i] = 0
+        carry[4] = -1  # open pix: nothing open
+        carry[5] = _FLT_MAX_BITS  # open z_head default
+        start_fetch(0, 0)
+        pltpu.make_async_copy(tri_hbm, tri_v, tri_sem).start()
+        pltpu.make_async_copy(tri_hbm, tri_v, tri_sem).wait()
+
+    @pl.when((p + 1 < n_parts) & even)
+    def _():
+        start_fetch(p + 1, 1)
+
+    @pl.when((p + 1 < n_parts) & jnp.logical_not(even))
+    def _():
+        start_fetch(p + 1, 0)
+
+    @pl.when(even)
+    def _():
+        wait_fetch(0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        wait_fetch(1)
+
+    slot = jax.lax.rem(p, 2)
+    pix16 = pix_v[slot]
+    zb16 = zb_v[slot]
+    pix = pix16[0:8, :]
+    zb = zb16[0:8, :]
+    packed = packed_v[slot]
+
+    lane = jax.lax.broadcasted_iota(_I32, (8, Lc), 1)
+    ok = pix < hw
+    real = (packed >> 24) & 1
+    r = packed & 255
+    g = (packed >> 8) & 255
+    b = (packed >> 16) & 255
+
+    def last_col(x):
+        return pltpu.roll(x, 1, axis=1)[:, 0:1]
+
+    pix_rolled = pltpu.roll(pix, 1, axis=1)
+    prev_last = jnp.concatenate(
+        [jnp.full((1, 1), carry[4], _I32), pix_rolled[0:7, 0:1]], axis=0
+    )
+    prev_pix = jnp.where(lane == 0, prev_last, pix_rolled)
+    is_head = pix != prev_pix
+
+    # ---- contribution csum: MXU triangular block-scan (v3 recipe) ----
+    X = jnp.concatenate([r * real, g * real, b * real, real], axis=0)  # (32, Lc)
+    TS = tri_v.shape[0]
+    xb = X.astype(jnp.bfloat16)
+    blocks = []
+    carry32 = jnp.zeros((32, 1), jnp.float32)
+    for jb in range(Lc // TS):
+        blk = jax.lax.dot_general(
+            xb[:, jb * TS : (jb + 1) * TS], tri_v[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + carry32
+        blocks.append(blk)
+        carry32 = pltpu.roll(blk, 1, axis=1)[:, 0:1]
+    X_lane = jnp.concatenate(blocks, axis=1).astype(_I32)
+    T = last_col(X_lane)
+    row32 = jax.lax.broadcasted_iota(_I32, (32, 1), 0)
+    g32 = row32 & 7
+    acc = T
+    s = 1
+    while s < 8:
+        sh = jnp.concatenate([jnp.zeros((s, 1), _I32), acc[0 : 32 - s]], axis=0)
+        acc = acc + jnp.where(g32 >= s, sh, 0)
+        s *= 2
+    grp = row32 >> 3
+    base4 = jnp.where(
+        grp == 0,
+        carry[0],
+        jnp.where(grp == 1, carry[1], jnp.where(grp == 2, carry[2], carry[3])),
+    )
+    pre_row = (acc - T) + base4
+    Xg = X_lane + pre_row
+    lane32 = jax.lax.broadcasted_iota(_I32, (32, Lc), 1)
+    PR = jnp.where(lane32 == 0, pre_row, pltpu.roll(Xg, 1, axis=1))
+
+    # ---- head broadcast (v3 recipe) ----
+    hp = jnp.where(is_head, lane, -1)
+    s = 1
+    while s < Lc:
+        hp = jnp.maximum(hp, jnp.where(lane >= s, pltpu.roll(hp, s, axis=1), -1))
+        s *= 2
+    no_head = hp < 0
+    dist = lane - jnp.maximum(hp, 0)
+
+    H = jnp.concatenate([PR, zb], axis=0)  # (40, Lc)
+    dist40 = jnp.concatenate([dist] * 5, axis=0)
+    s = 1
+    while s < Lc:
+        H = jnp.where(dist40 < s, H, pltpu.roll(H, s, axis=1))
+        s *= 2
+
+    has_head_i = jnp.where(last_col(hp) >= 0, 1, 0)
+    hh40 = jnp.concatenate([has_head_i] * 5, axis=0)
+    v_end = last_col(H)
+    row40 = jax.lax.broadcasted_iota(_I32, (40, 1), 0)
+    g40 = row40 & 7
+    grp40 = row40 >> 3
+    init40 = jnp.where(
+        grp40 == 0,
+        carry[6],
+        jnp.where(
+            grp40 == 1,
+            carry[7],
+            jnp.where(grp40 == 2, carry[8], jnp.where(grp40 == 3, carry[9], carry[5])),
+        ),
+    )
+    out_v = jnp.where(hh40 == 1, v_end, init40)
+    fnd = hh40
+    s = 1
+    while s < 8:
+        sh_v = jnp.concatenate([out_v[0:s], out_v[0 : 40 - s]], axis=0)
+        sh_f = jnp.concatenate([jnp.zeros((s, 1), _I32), fnd[0 : 40 - s]], axis=0)
+        take = (fnd == 0) & (sh_f == 1) & (g40 >= s)
+        out_v = jnp.where(take, sh_v, out_v)
+        fnd = jnp.where(take, 1, fnd)
+        s *= 2
+    inc_v = jnp.concatenate([init40[0:1], out_v[0:39]], axis=0)
+    inc_f = jnp.concatenate([jnp.zeros((1, 1), _I32), fnd[0:39]], axis=0)
+    inc = jnp.where((inc_f == 1) & (g40 >= 1), inc_v, init40)
+    nh40 = jnp.concatenate([no_head] * 5, axis=0)
+    H = jnp.where(nh40, inc, H)
+
+    h_PR = H[0:32, :]
+    h_zb = H[32:40, :]
+
+    # ---- band + winner ----
+    z = jax.lax.bitcast_convert_type(zb, jnp.float32)
+    z_head = jax.lax.bitcast_convert_type(h_zb, jnp.float32)
+    in_band = ok & jnp.logical_not(z > z_head + jnp.float32(depth_band))
+    next_pix = jnp.where(
+        lane == Lc - 1, pix16[1:9, 0:1], pltpu.roll(pix, Lc - 1, axis=1)
+    )
+    next_zb = jnp.where(lane == Lc - 1, zb16[1:9, 0:1], pltpu.roll(zb, Lc - 1, axis=1))
+    next_z = jax.lax.bitcast_convert_type(next_zb, jnp.float32)
+    is_last = pix != next_pix
+    winner = in_band & (is_last | (next_z > z_head + jnp.float32(depth_band)))
+
+    SUM = Xg - h_PR
+
+    # ---- winner-rank csum (one more MXU block-scan, 8 rows) ----
+    wb = winner.astype(jnp.bfloat16)
+    wblocks = []
+    cw = jnp.zeros((8, 1), jnp.float32)
+    for jb in range(Lc // TS):
+        blk = jax.lax.dot_general(
+            wb[:, jb * TS : (jb + 1) * TS], tri_v[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + cw
+        wblocks.append(blk)
+        cw = pltpu.roll(blk, 1, axis=1)[:, 0:1]
+    Wl = jnp.concatenate(wblocks, axis=1).astype(_I32)
+    Tw = last_col(Wl)
+    row8 = jax.lax.broadcasted_iota(_I32, (8, 1), 0)
+    accw = Tw
+    s = 1
+    while s < 8:
+        sh = jnp.concatenate([jnp.zeros((s, 1), _I32), accw[0 : 8 - s]], axis=0)
+        accw = accw + jnp.where(row8 >= s, sh, 0)
+        s *= 2
+    pre_w = (accw - Tw) + carry[14]
+    Wg = Wl + pre_w  # global inclusive winner csum
+    Wexcl = Wg - winner.astype(_I32)
+
+    # ---- placement by winner rank (factored one-hot, v3 recipe) ----
+    o_part = carry[10]
+    r_part = carry[12]
+    slots_all = jnp.where(winner, Wexcl - o_part, _I32(-1))
+
+    NQ = S // 128
+    o_sub = _I32(0)
+    for c in range(8):
+        for j in range(Lc // S):
+            sl = slice(j * S, (j + 1) * S)
+            w_sub = winner[c : c + 1, sl]
+            sl_sub = slots_all[c : c + 1, sl]
+            k_c = jnp.sum(w_sub.astype(_I32))
+
+            vals = (SUM[c : c + 1, sl], SUM[8 + c : 9 + c, sl],
+                    SUM[16 + c : 17 + c, sl], SUM[24 + c : 25 + c, sl],
+                    h_zb[c : c + 1, sl], pix[c : c + 1, sl])
+            rows = []
+            for v in vals:
+                for shift in (0, 8, 16, 24):
+                    rows.append(((v >> shift) & 255).astype(jnp.bfloat16))
+
+            d_row = sl_sub - o_sub  # winners: in [0, k_c)
+            q_iota = jax.lax.broadcasted_iota(_I32, (NQ, S), 0)
+            Q = ((d_row >> 7) == q_iota).astype(jnp.bfloat16)
+            d_col = d_row.reshape(S, 1)
+            R = (
+                ((d_col & 127) == jax.lax.broadcasted_iota(_I32, (S, 128), 1))
+                & (d_col >= 0)
+            ).astype(jnp.bfloat16)
+            B = jnp.concatenate([rb * Q for rb in rows], axis=0)  # (24*NQ, S)
+            placed = jax.lax.dot_general(
+                B, R,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            placed_i = placed.astype(_I32)  # (24*NQ, 128)
+            out_rows = []
+            for jj in range(6):
+                vblk = (
+                    placed_i[(4 * jj) * NQ : (4 * jj + 1) * NQ]
+                    | (placed_i[(4 * jj + 1) * NQ : (4 * jj + 2) * NQ] << 8)
+                    | (placed_i[(4 * jj + 2) * NQ : (4 * jj + 3) * NQ] << 16)
+                    | (placed_i[(4 * jj + 3) * NQ : (4 * jj + 4) * NQ] << 24)
+                )
+                # row-q extraction as a masked sublane REDUCTION: lazy
+                # sublane rolls keep a layout offset Mosaic's lane-concat
+                # rejects ("offset mismatch on non-concat dimension")
+                rq_i = jax.lax.broadcasted_iota(_I32, (NQ, 128), 0)
+                out_rows.append(
+                    jnp.concatenate(
+                        [
+                            jnp.sum(jnp.where(rq_i == q, vblk, 0), axis=0,
+                                    keepdims=True)
+                            for q in range(NQ)
+                        ],
+                        axis=1,
+                    )
+                    if NQ > 1
+                    else vblk
+                )
+            out8 = jnp.concatenate(out_rows + [jnp.zeros((2, S), _I32)], axis=0)
+
+            q = r_part + o_sub
+            carry[11] = (q // 128) * 128
+            q_al = pl.multiple_of(carry[11], 128)
+            rq = q - q_al
+            padded = jnp.concatenate([out8, jnp.zeros((8, 128), _I32)], axis=1)
+            rolled = pltpu.roll(padded, rq, axis=1)
+            lane_t = jax.lax.broadcasted_iota(_I32, (8, S + 128), 1)
+            tmask = (lane_t >= rq) & (lane_t < rq + S)
+            cur = part_out[:, pl.ds(q_al, S + 128)]
+            part_out[:, pl.ds(q_al, S + 128)] = jnp.where(tmask, rolled, cur)
+            o_sub = o_sub + k_c
+
+    carry[11] = ((o_part - r_part) // 128) * 128
+    o_al = pl.multiple_of(carry[11], 128)
+    dma = pltpu.make_async_copy(
+        part_out.at[:, pl.ds(0, L + 256)],
+        wout_hbm.at[:, pl.ds(o_al, L + 256)],
+        out_sem,
+    )
+    dma.start()
+
+    end = r_part + o_sub
+    carry[13] = (end // 128) * 128
+    tail_al = pl.multiple_of(carry[13], 128)
+    dma.wait()
+    tail = part_out[:, pl.ds(tail_al, 128)]
+    part_out[:, pl.ds(0, 128)] = tail
+    r_next = end - tail_al
+
+    last = Lc - 1
+    carry[0] = Xg[7, last]
+    carry[1] = Xg[15, last]
+    carry[2] = Xg[23, last]
+    carry[3] = Xg[31, last]
+    carry[4] = pix[7, last]
+    carry[5] = H[39, last]
+    carry[6] = H[7, last]
+    carry[7] = H[15, last]
+    carry[8] = H[23, last]
+    carry[9] = H[31, last]
+    carry[10] = o_part + o_sub
+    carry[12] = r_next
+    carry[14] = Wg[7, last]
+
+
+def _expand_kernel4(
+    starts_ref,  # SMEM (PB,) i32 — winner index of each part's first pixel
+    total_ref,  # SMEM (1,) i32 — number of winners
+    wimg_hbm,  # (8, out_w) i32 winner stream
+    out_hbm,  # (8, PB*PL) i32 dense image
+    win_v,  # VMEM (8, PL + SE + 256)
+    out_v,  # VMEM (8, PL)
+    smem,  # SMEM (2,)
+    in_sem,
+    out_sem,
+    *,
+    PL: int,
+    SE: int,
+    hw: int,
+):
+    p = pl.program_id(0)
+    n_sub = PL // SE
+    W_WIN = PL + SE + 256
+
+    smem[0] = (starts_ref[p] // 128) * 128
+    s_al = pl.multiple_of(smem[0], 128)
+    cp = pltpu.make_async_copy(
+        wimg_hbm.at[:, pl.ds(s_al, W_WIN)], win_v, in_sem
+    )
+    cp.start()
+    total = total_ref[0]
+    cp.wait()
+
+    # window-relative winner pixel ids (row 5), garbage beyond `total`
+    # masked to the hw sentinel — sub-chunk window starts are then found
+    # IN-KERNEL as count(pix < base) (the searchsorted of a sorted window),
+    # so the host only prefetches one scalar per part (SMEM is tiny).
+    row8w = jax.lax.broadcasted_iota(_I32, (8, W_WIN), 0)
+    wpix_all = jnp.sum(jnp.where(row8w == 5, win_v[:, :], 0), axis=0,
+                       keepdims=True)
+    gidx_w = s_al + jax.lax.broadcasted_iota(_I32, (1, W_WIN), 1)
+    wpix_clean = jnp.where(gidx_w < total, wpix_all, _I32(hw))
+
+    NQ = SE // 128
+    SW = SE + 128
+    for j in range(n_sub):
+        base = p * PL + j * SE
+        cnt = jnp.sum((wpix_clean < base).astype(_I32))
+        smem[1] = (cnt // 128) * 128
+        lo_al = pl.multiple_of(smem[1], 128)
+        sw = win_v[:, pl.ds(lo_al, SW)]  # (8, SE+128)
+        # rows to sublane offset 0 via masked reduction (lazy sublane rolls
+        # keep a layout offset that breaks later lane-concats)
+        row8 = jax.lax.broadcasted_iota(_I32, (8, SW), 0)
+        vrows = [
+            jnp.sum(jnp.where(row8 == k, sw, 0), axis=0, keepdims=True)
+            for k in range(6)
+        ]
+        wpix = vrows[5]
+        base = p * PL + j * SE
+        gidx = s_al + lo_al + jax.lax.broadcasted_iota(_I32, (1, SW), 1)
+        valid = (wpix >= base) & (wpix < base + SE) & (wpix < hw) & (gidx < total)
+        d_row = jnp.where(valid, wpix - base, _I32(-1))  # (1, SW)
+
+        q_iota = jax.lax.broadcasted_iota(_I32, (NQ, SW), 0)
+        Q = ((d_row >> 7) == q_iota).astype(jnp.bfloat16)
+        d_col = d_row.reshape(SW, 1)
+        R = (
+            ((d_col & 127) == jax.lax.broadcasted_iota(_I32, (SW, 128), 1))
+            & (d_col >= 0)
+        ).astype(jnp.bfloat16)
+        rows = []
+        for v in vrows[:5]:
+            for shift in (0, 8, 16, 24):
+                rows.append(((v >> shift) & 255).astype(jnp.bfloat16))
+        B = jnp.concatenate([rb * Q for rb in rows], axis=0)  # (20*NQ, SW)
+        placed = jax.lax.dot_general(
+            B, R,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        placed_i = placed.astype(_I32)  # (20*NQ, 128)
+        out_rows = []
+        for jj in range(5):
+            vblk = (
+                placed_i[(4 * jj) * NQ : (4 * jj + 1) * NQ]
+                | (placed_i[(4 * jj + 1) * NQ : (4 * jj + 2) * NQ] << 8)
+                | (placed_i[(4 * jj + 2) * NQ : (4 * jj + 3) * NQ] << 16)
+                | (placed_i[(4 * jj + 3) * NQ : (4 * jj + 4) * NQ] << 24)
+            )
+            rq_i = jax.lax.broadcasted_iota(_I32, (NQ, 128), 0)
+            out_rows.append(
+                jnp.concatenate(
+                    [
+                        jnp.sum(jnp.where(rq_i == q, vblk, 0), axis=0,
+                                keepdims=True)
+                        for q in range(NQ)
+                    ],
+                    axis=1,
+                )
+                if NQ > 1
+                else vblk
+            )
+        # empty pixels: count==0 -> depth = FLT_MAX bits (reference seed,
+        # project_cloud.cu:316); color sums stay 0
+        depth = jnp.where(out_rows[3] > 0, out_rows[4], _I32(_FLT_MAX_BITS))
+        out8 = jnp.concatenate(
+            out_rows[:4] + [depth, jnp.zeros((3, SE), _I32)], axis=0
+        )
+        out_v[:, j * SE : (j + 1) * SE] = out8
+
+    dma = pltpu.make_async_copy(out_v, out_hbm.at[:, pl.ds(p * PL, PL)], out_sem)
+    dma.start()
+    dma.wait()
+
+
+def raster_images_pallas4(
+    sp: SortedPoints,
+    hw: int,
+    depth_band: float,
+    part_size: int = 16384,
+    sub_chunk: int = 1024,
+    expand_part: int = 16384,
+    expand_sub: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Dense (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) from a
+    CARRIER-FREE (pixel, depth)-sorted point stream (ops/raster.py
+    ``project_and_sort(..., carriers=False)``)."""
+    m = sp.pix.shape[0]
+    L = part_size
+    assert L % 8 == 0
+    Lc = L // 8
+    assert Lc % 128 == 0
+    S = min(sub_chunk, Lc)
+    assert Lc % S == 0 and S % 128 == 0
+    PL = expand_part
+    SE = expand_sub
+    assert PL % SE == 0 and SE % 128 == 0 and PL <= L
+    P = -(-m // L)
+    pad = P * L + 8 * Lc - m
+
+    z_bits = jax.lax.bitcast_convert_type(sp.z, jnp.int32)
+    packed = (
+        sp.rgb[:, 0]
+        | (sp.rgb[:, 1] << 8)
+        | (sp.rgb[:, 2] << 16)
+        | jnp.where(sp.is_real, jnp.int32(_REAL_BIT), 0)
+    )
+
+    def padit(x, fill):
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]).reshape(-1, Lc)
+
+    pix_p = padit(sp.pix, jnp.int32(hw))
+    zb_p = padit(z_bits, jax.lax.bitcast_convert_type(jnp.float32(jnp.inf), jnp.int32))
+    packed_p = padit(packed, jnp.int32(0))
+
+    TS = min(512, Lc)
+    assert Lc % TS == 0
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (TS, TS), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (TS, TS), 1)
+    ).astype(jnp.bfloat16)
+
+    out_w = hw + L + 1024
+
+    wimg = pl.pallas_call(
+        functools.partial(_winners_kernel4, Lc=Lc, S=S, hw=hw, depth_band=depth_band),
+        out_shape=jax.ShapeDtypeStruct((8, out_w), jnp.int32),
+        grid=(P,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, Lc), jnp.int32),
+            pltpu.VMEM((2, 16, Lc), jnp.int32),
+            pltpu.VMEM((2, 8, Lc), jnp.int32),
+            pltpu.VMEM((TS, TS), jnp.bfloat16),
+            pltpu.VMEM((8, L + 256), jnp.int32),
+            pltpu.SMEM((18,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pix_p, zb_p, packed_p, tri)
+
+    # winner count + per-part window starts for the expansion (sub-chunk
+    # starts are found in-kernel; only PB scalars ride SMEM prefetch)
+    total = jnp.sum((sp.is_head & sp.ok).astype(jnp.int32))
+    PB = -(-hw // PL)
+    lanes = jnp.arange(out_w, dtype=jnp.int32)
+    wpix_clean = jnp.where(lanes < total, wimg[5], jnp.int32(hw))
+    targets = jnp.arange(PB, dtype=jnp.int32) * jnp.int32(PL)
+    starts = jnp.searchsorted(wpix_clean, targets, side="left").astype(jnp.int32)
+
+    img = pl.pallas_call(
+        functools.partial(_expand_kernel4, PL=PL, SE=SE, hw=hw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(PB,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((8, PL + SE + 256), jnp.int32),
+                pltpu.VMEM((8, PL), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, PB * PL), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, total.reshape(1), wimg)
+
+    img = img[:, :hw]
+    sums = jnp.stack([img[0], img[1], img[2]], axis=1)
+    count = img[3]
+    depth = jax.lax.bitcast_convert_type(img[4], jnp.float32)
+    return sums, count, depth

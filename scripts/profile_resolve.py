@@ -57,10 +57,10 @@ def main():
 
     # NOTE: skip_scans poisons the winner/offset carries -> unsafe DMA
     # offsets (TPU internal error); only skip_placement is a safe ablation.
-    print(f"v3 default          : {timed():7.2f} ms", flush=True)
+    print(f"v3 onehot S=1024    : {timed(factored=False):7.2f} ms", flush=True)
     print(f"v3 skip placement   : {timed(skip_placement=True):7.2f} ms", flush=True)
-    for L, S in ((16384, 512), (16384, 256), (16384, 1024), (32768, 512)):
-        print(f"v3 L={L} S={S}: {timed(part_size=L, sub_chunk=S):7.2f} ms", flush=True)
+    for S in (256, 512, 1024, 2048):
+        print(f"v3 factored S={S:5d}: {timed(sub_chunk=S):7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

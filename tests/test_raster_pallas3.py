@@ -12,13 +12,14 @@ from rtnr_tpu.ops.raster_pallas3 import raster_images_pallas3
 from tests.test_raster_pallas import make_sp
 
 
+@pytest.mark.parametrize("factored", [False, True])
 @pytest.mark.parametrize("dense", [False, True])
 @pytest.mark.parametrize("L,S", [(2048, 256), (1024, 128)])
-def test_pallas3_resolve_interpret_exact(dense, L, S):
+def test_pallas3_resolve_interpret_exact(dense, L, S, factored):
     sp, hw = make_sp(6000, 48, 32, seed=1, dense=dense)
     s_ref, c_ref, d_ref = raster_images(sp, hw, 0.02)
     s_got, c_got, d_got = raster_images_pallas3(
-        sp, hw, 0.02, part_size=L, sub_chunk=S, interpret=True
+        sp, hw, 0.02, part_size=L, sub_chunk=S, interpret=True, factored=factored
     )
     np.testing.assert_array_equal(np.asarray(c_got), np.asarray(c_ref))
     np.testing.assert_array_equal(np.asarray(s_got), np.asarray(s_ref))
