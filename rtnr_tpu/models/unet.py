@@ -224,10 +224,25 @@ class Conv3x3Pallas(nn.Module):
     rows_per_step: int = 4
 
     @nn.compact
-    def __call__(self, x: jax.Array, x2: Optional[jax.Array] = None) -> jax.Array:
-        from rtnr_tpu.ops.conv_pallas import conv3x3_pallas
+    def __call__(
+        self,
+        x: jax.Array,
+        x2: Optional[jax.Array] = None,
+        *,
+        planar_hw: Optional[Tuple[int, int]] = None,
+        planar_out: bool = False,
+    ) -> jax.Array:
+        from rtnr_tpu.ops.conv_pallas import (
+            conv3x3_pallas, conv3x3_planar, from_planar,
+        )
 
-        c_in = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
+        if planar_hw is not None:
+            h, w = planar_hw
+            c_in = x.shape[0] // (h + 2) + (
+                0 if x2 is None else x2.shape[0] // (h + 2)
+            )
+        else:
+            c_in = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
             jnp.float32,
@@ -239,10 +254,40 @@ class Conv3x3Pallas(nn.Module):
             else None
         )
         xs = (x,) if x2 is None else (x, x2)
+        if planar_hw is not None:
+            # inputs already planar ((H+2)*C, Wp) — chain without converting
+            yp = conv3x3_planar(
+                xs, kernel, bias, h=h, w=w, relu=self.relu,
+                rows_per_step=self.rows_per_step,
+            )
+            return yp if planar_out else from_planar(yp, h, w, self.features)
+        assert not planar_out
         return conv3x3_pallas(
             [a.astype(jnp.bfloat16) for a in xs], kernel, bias,
             relu=self.relu, rows_per_step=self.rows_per_step,
         )
+
+
+class ConvParams(nn.Module):
+    """Bare parameter holder matching ``nn.Conv``'s tree ("kernel"/"bias")
+    for paths that hand the arrays to a Pallas kernel directly — checkpoint
+    and init compatible with the XLA module it stands in for."""
+
+    kshape: Tuple[int, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self) -> Tuple[jax.Array, Optional[jax.Array]]:
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kshape, jnp.float32
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros_init(),
+                       (self.kshape[-1],), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
 
 
 def _pallas_conv_ok(x: jax.Array, train: bool, rows_per_step: int = 4) -> bool:
@@ -252,10 +297,10 @@ def _pallas_conv_ok(x: jax.Array, train: bool, rows_per_step: int = 4) -> bool:
         return False
     n, h, w = x.shape[0], x.shape[1], x.shape[2]
     return (
-        h * w >= (1 << 20)
-        and w % 16 == 0
+        n == 1  # planar layout is per-image
+        and h * w >= (1 << 20)
+        and w % 128 == 0
         and h % rows_per_step == 0
-        and (rows_per_step * w) % 16 == 0
     )
 
 
@@ -283,20 +328,65 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, x2: Optional[jax.Array] = None
-    ) -> jax.Array:
-        for i in range(2):
-            pallas_ok = (
-                self.conv_impl == "pallas"
-                and self.fold_bn
-                and self.dtype == jnp.bfloat16
-                and x.shape[-1] * 9 > 128  # tiny-Cin keeps its own lowering
-                and _pallas_conv_ok(x, train)
+        self,
+        x: jax.Array,
+        train: bool = False,
+        x2: Optional[jax.Array] = None,
+        split: Optional[dict] = None,
+    ):
+        if split is not None:
+            # split-planar fused pair (ops/conv_split.py): x (and x2) are
+            # (E, O) planar tuples; returns (E, O) [+ pooled planar].
+            # Params keep nn.Conv's tree (conv0/conv1 kernel+bias).
+            from rtnr_tpu.ops.conv_split import conv3x3_split
+
+            assert self.fold_bn and not train
+            h, w = split["h"], split["w"]
+            c0 = split["c_in"]  # true (pre-padding) input channels
+            cin = c0 + (split.get("c_in2", 0) if x2 is not None else 0)
+            interp = split.get("interpret", False)
+            k0, b0 = ConvParams((3, 3, cin, self.features), name="conv0")()
+            arrs = list(x) + (list(x2) if x2 is not None else [])
+            e, o = conv3x3_split(
+                arrs, k0, b0, h=h, w=w, relu=True,
+                rows_per_step=2 if x2 is not None else 4, interpret=interp,
             )
-            if pallas_ok:
+            k1, b1 = ConvParams((3, 3, self.features, self.features),
+                                name="conv1")()
+            head = split.get("head")
+            return conv3x3_split(
+                [e, o], k1, b1,
+                head_kernel=None if head is None else head[0],
+                head_bias=None if head is None else head[1],
+                h=h, w=w, relu=True, pool=split.get("pool", False),
+                rows_per_step=4, interpret=interp,
+            )
+        pallas_base = (
+            self.conv_impl == "pallas"
+            and self.fold_bn
+            and self.dtype == jnp.bfloat16
+            and _pallas_conv_ok(x, train)
+        )
+        if pallas_base and x.shape[-1] * 9 > 128:
+            # fused planar pair: one NHWC->planar conversion per DoubleConv
+            from rtnr_tpu.ops.conv_pallas import from_planar, to_planar
+
+            h, w = x.shape[1], x.shape[2]
+            xp = to_planar(x.astype(jnp.bfloat16))
+            x2p = to_planar(x2.astype(jnp.bfloat16)) if x2 is not None else None
+            yp = Conv3x3Pallas(self.features, relu=True, name="conv0")(
+                xp, x2p, planar_hw=(h, w), planar_out=True
+            )
+            yp = Conv3x3Pallas(self.features, relu=True, name="conv1")(
+                yp, planar_hw=(h, w), planar_out=True
+            )
+            return from_planar(yp, h, w, self.features)
+        for i in range(2):
+            # conv1 alone can still go planar when conv0 was tiny-Cin
+            if i == 1 and pallas_base and x.shape[-1] * 9 > 128:
                 x = Conv3x3Pallas(
                     self.features, use_bias=True, relu=True, name=f"conv{i}"
-                )(x, x2 if i == 0 else None)
+                )(x.astype(jnp.bfloat16))
                 continue
             if i == 0 and x2 is not None:
                 x = ConvSplitInput(
@@ -363,11 +453,12 @@ class UNet(nn.Module):
     # im2col-off 49.1 ms, slice_max pool 94.7 ms, matmul up_impl worse in
     # isolation; kept as measured foils.)
     skip_concat: str = "split"
-    # "pallas": full-resolution inference convs use the Pallas direct
-    # kernel (ops/conv_pallas.py, fused bias+ReLU); "xla": native convs.
-    # (pallas is opt-in until the kernel clears Mosaic's DMA constraints
-    # at the full-res shape — sub-128 minor dims can't be memref_sliced.)
-    conv_impl: str = "xla"
+    # "pallas": the full-resolution segment (down0 pair + fused pool, last
+    # ConvTranspose, updc pair + fused final conv) runs as split-planar
+    # Pallas kernels (ops/conv_split.py) — measured 30.5 ms/apply vs 39.8
+    # XLA at 1088x1920 on v5e (whole-net chained, bench_parts.py).
+    # "xla": native convs everywhere (training, CPU, multi-batch).
+    conv_impl: str = "pallas"
     # "convt": XLA's native transposed-conv lowering; "matmul": exact
     # matmul+depth-to-space rewrite (ConvTranspose2x2MatMul). Measured on
     # v5e (scripts/profile_layers2.py): convT is bandwidth-bound and FASTER
@@ -377,9 +468,48 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        import os
+
         x = x.astype(self.dtype)
+        # split-planar full-res segment (ops/conv_split.py): down0 pair +
+        # fused pool, last ConvTranspose, updc pair + fused final conv all
+        # run as Pallas kernels in the polyphase layout — no full-res XLA
+        # layout glue. RTNR_SPLIT_FORCE=1 lets CPU tests exercise the path
+        # in interpret mode at small shapes.
+        force = os.environ.get("RTNR_SPLIT_FORCE") == "1"
+        use_split = (
+            self.conv_impl == "pallas"
+            and self.fold_bn
+            and not train
+            and self.dtype == jnp.bfloat16
+            and x.shape[0] == 1
+            and x.shape[1] % 8 == 0
+            and x.shape[2] % 2 == 0
+            and self.features[0] % 8 == 0
+            and (
+                force
+                or (jax.default_backend() == "tpu"
+                    and x.shape[1] * x.shape[2] >= (1 << 20))
+            )
+        )
+        interp = force and jax.default_backend() != "tpu"
+        if use_split:
+            from rtnr_tpu.ops.conv_split import from_planar_half, to_split
+
+            h0, w0, c_in0 = x.shape[1], x.shape[2], x.shape[3]
+
         skips = []
         for i, f in enumerate(self.features):
+            if i == 0 and use_split:
+                e, o, pooled = DoubleConv(
+                    f, dtype=self.dtype, fold_bn=self.fold_bn,
+                    conv_impl=self.conv_impl, name="down0",
+                )(to_split(x), train,
+                  split=dict(h=h0, w=w0, c_in=c_in0, pool=True,
+                             interpret=interp))
+                skips.append((e, o))
+                x = from_planar_half(pooled, h0 // 2, w0 // 2, f)
+                continue
             x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
                            tiny_cin_impl=self.tiny_cin_impl,
                            conv_impl=self.conv_impl, name=f"down{i}")(x, train)
@@ -395,6 +525,28 @@ class UNet(nn.Module):
         x = DoubleConv(self.features[-1] * 2, dtype=self.dtype, fold_bn=self.fold_bn, name="bottleneck")(x, train)
 
         for i, f in enumerate(reversed(self.features)):
+            if use_split and i == len(self.features) - 1:
+                # last up stage fully split-planar: ConvTranspose kernel ->
+                # updc pair with fused final 1x1 conv; no full-res XLA ops
+                from rtnr_tpu.ops.conv_split import (
+                    convt2x2_split, from_split, to_planar_half,
+                )
+
+                kup, bup = ConvParams((2, 2, x.shape[-1], f),
+                                      name=f"up{i}")()
+                ue, uo = convt2x2_split(
+                    to_planar_half(x.astype(jnp.bfloat16)), kup, bup,
+                    h=h0, w=w0, rows_per_step=4, interpret=interp,
+                )
+                kf, bf = ConvParams((1, 1, f, self.out_channels),
+                                    name="final_conv")()
+                e, o = DoubleConv(
+                    f, dtype=self.dtype, fold_bn=self.fold_bn,
+                    conv_impl=self.conv_impl, name=f"updc{i}",
+                )(skips[0], train, x2=(ue, uo),
+                  split=dict(h=h0, w=w0, c_in=f, c_in2=f,
+                             head=(kf[0, 0], bf), interpret=interp))
+                return from_split(e, o, h0, w0, 8)[..., : self.out_channels]
             if self.up_impl == "matmul":
                 x = ConvTranspose2x2MatMul(f, dtype=self.dtype, name=f"up{i}")(x)
             else:

@@ -54,6 +54,7 @@ def bench_unet():
         pool_impl=os.environ.get("UNET_POOL", "reduce_window"),
         skip_concat=os.environ.get("UNET_SKIP", "concat"),
         up_impl=os.environ.get("UNET_UP", "convt"),
+        conv_impl=os.environ.get("UNET_CONV", "xla"),
     )
     print(f"unet variant: {variant}", flush=True)
     unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True, **variant)

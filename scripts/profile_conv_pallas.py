@@ -1,7 +1,11 @@
-"""Pallas direct-conv kernel vs XLA conv at the U-Net's full-res shapes.
+"""Pallas planar direct-conv kernel vs XLA conv at the U-Net's full-res
+shapes.
 
 Chained-loop methodology (the only trustworthy pattern on this backend,
 see CLAUDE.md): N reps inside one jit with a loop-carried data dependence.
+Measures (a) XLA conv, (b) the NHWC wrapper (includes planar<->NHWC
+conversions — the single-conv integration cost), (c) the planar kernel
+alone (the steady-state cost inside a planar conv chain).
 """
 
 import os
@@ -14,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scripts.profile_micro import timed_loop
-from rtnr_tpu.ops.conv_pallas import conv3x3_pallas
+from rtnr_tpu.ops.conv_pallas import conv3x3_pallas, conv3x3_planar, to_planar
 
 
 def main():
@@ -41,20 +45,33 @@ def main():
 
         xcat = jnp.concatenate(xs, -1) if len(xs) > 1 else xs[0]
         ms = timed_loop(xla_conv, (xcat, k), reps=10, perturb_arg=1)
-        print(f"XLA    {name}: {ms:7.2f} ms  {flops/ms*1e-9:6.1f} TFLOP/s", flush=True)
+        print(f"XLA        {name}: {ms:7.2f} ms  {flops/ms*1e-9:6.1f} TFLOP/s",
+              flush=True)
 
+        xps = [to_planar(x) for x in xs]
         for tr in (2, 4, 8):
             try:
                 def pconv(*a):
-                    return conv3x3_pallas(a[:-1], a[-1], b, relu=True,
-                                          rows_per_step=tr)
-                ms = timed_loop(pconv, tuple(xs) + (k,), reps=10,
-                                perturb_arg=len(xs))
-                print(f"pallas TR={tr} {name}: {ms:7.2f} ms  "
+                    return conv3x3_planar(a[:-1], a[-1], b, h=H, w=W,
+                                          relu=True, rows_per_step=tr)
+                ms = timed_loop(pconv, tuple(xps) + (k,), reps=10,
+                                perturb_arg=len(xps))
+                print(f"planar TR={tr} {name}: {ms:7.2f} ms  "
                       f"{flops/ms*1e-9:6.1f} TFLOP/s", flush=True)
             except Exception as e:
-                print(f"pallas TR={tr} {name}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:200]}", flush=True)
+                print(f"planar TR={tr} {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+        try:
+            def wconv(*a):
+                return conv3x3_pallas(a[:-1], a[-1], b, relu=True,
+                                      rows_per_step=4)
+            ms = timed_loop(wconv, tuple(xs) + (k,), reps=10,
+                            perturb_arg=len(xs))
+            print(f"nhwc-wrap  {name}: {ms:7.2f} ms  "
+                  f"{flops/ms*1e-9:6.1f} TFLOP/s", flush=True)
+        except Exception as e:
+            print(f"nhwc-wrap  {name}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
