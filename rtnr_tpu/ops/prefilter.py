@@ -104,17 +104,21 @@ def compare_levels(
     lh, lw = low.shape
     # Each fine pixel compares its own depth against the 3x3 coarse
     # neighborhood of its parent cell (out-of-bounds coarse reads are -1.0,
-    # reference getPixelValue, project_cloud.cu:81-86).
-    cv = high
-    keep = jnp.zeros(high.shape, bool)
+    # reference getPixelValue, project_cloud.cu:81-86). The reference ORs
+    # nine per-neighbor tests cv <= nb*fs; with fs > 0 that is EXACTLY
+    # cv <= fs * max3x3(nb) (comparison against a scalar multiple is
+    # monotone and fs*max is the same float as the max of the products for
+    # the selected element), so the neighborhood reduction runs at COARSE
+    # resolution — one fine-res compare instead of nine.
+    nbmax = jnp.full(low.shape, np.float32(-1.0))
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             nb = low_pad[1 + dy : 1 + dy + lh, 1 + dx : 1 + dx + lw]
-            keep = keep | (cv <= up2(nb * fs))
-    center = up2(low * fs)
-    keep_flat = cv <= center
-    edge = up2(grad_mask)
-    return ~empty & jnp.where(edge, keep, keep_flat)
+            nbmax = jnp.maximum(nbmax, nb)
+    cv = high
+    threshold = jnp.where(grad_mask, nbmax, low) * fs
+    keep = cv <= up2(threshold)
+    return ~empty & keep
 
 
 def bilinear_up2(low: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:

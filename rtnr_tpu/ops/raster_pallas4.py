@@ -485,9 +485,9 @@ def raster_images_pallas4(
     hw: int,
     depth_band: float,
     part_size: int = 16384,
-    sub_chunk: int = 1024,
+    sub_chunk: int = 2048,  # v5e sweep (scripts/profile_resolve4.py)
     expand_part: int = 16384,
-    expand_sub: int = 512,
+    expand_sub: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) from a

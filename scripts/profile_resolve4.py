@@ -1,0 +1,72 @@
+"""v4 carrier-free resolve knob sweep on the bench-shape stream
+(winners sub_chunk, expansion part/sub sizes), chained-loop methodology."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rtnr_tpu.camera import Camera
+from rtnr_tpu.ops.raster import project_and_sort
+from rtnr_tpu.ops.raster_pallas4 import raster_images_pallas4
+
+N = int(os.environ.get("BENCH_POINTS", 5_000_000))
+W = int(os.environ.get("BENCH_WIDTH", 1920))
+H = int(os.environ.get("BENCH_HEIGHT", 1080))
+REPS = 20
+
+
+def main():
+    print(f"backend: {jax.devices()[0]}", flush=True)
+    rng = np.random.default_rng(0)
+    pts = np.stack(
+        [rng.uniform(-10, 10, N), rng.uniform(-10, 10, N), rng.uniform(2, 20, N)], 1
+    ).astype(np.float32)
+    cols = rng.integers(0, 256, (N, 3), dtype=np.uint8)
+    cam = Camera.from_params(1100.0, 1100.0, W / 2, H / 2, W, H)
+    E = np.eye(4)
+    E[2, 3] = 12.0
+    M = jnp.asarray(cam.cam_proj(E), jnp.float32)
+    sp = project_and_sort(
+        jnp.asarray(pts), jnp.asarray(cols), M, width=W, height=H, carriers=False
+    )
+    sp = jax.tree.map(jax.device_put, sp)
+    hw = W * H
+
+    def timed(**kw):
+        @jax.jit
+        def run(z0):
+            def body(k, acc):
+                spk = sp._replace(z=sp.z + 0.0 * acc)
+                s, c, d = raster_images_pallas4(spk, hw, 0.02, **kw)
+                return acc + d[0] + s[0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+        jax.block_until_ready(run(jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jnp.float32(0.0)))
+        return (time.perf_counter() - t0) / REPS * 1e3
+
+    base = dict(part_size=16384, sub_chunk=1024, expand_part=16384, expand_sub=512)
+    print(f"default {base}: {timed(**base):7.2f} ms", flush=True)
+    for s in (512, 2048):
+        kw = dict(base, sub_chunk=s)
+        print(f"sub_chunk={s:5d}: {timed(**kw):7.2f} ms", flush=True)
+    for pl_, se in ((16384, 1024), (16384, 256), (32768, 512), (8192, 512)):
+        kw = dict(base, expand_part=pl_, expand_sub=se)
+        print(f"expand PL={pl_} SE={se:5d}: {timed(**kw):7.2f} ms", flush=True)
+    for L in (32768, 8192):
+        kw = dict(base, part_size=L, sub_chunk=min(1024, L // 8))
+        print(f"part_size={L}: {timed(**kw):7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
