@@ -207,67 +207,6 @@ class ConvSplitInput(nn.Module):
         return y
 
 
-class Conv3x3Pallas(nn.Module):
-    """3x3 conv (+ optional fused bias/ReLU) via the Pallas direct kernel
-    (ops/conv_pallas.py) — parameter-compatible with ``nn.Conv`` (same
-    "kernel"/"bias" names and shapes, checkpoints interchange). Two-input
-    form computes conv over the virtual concat (the ConvSplitInput trick).
-
-    Inference-only lowering for the full-resolution 64-channel convs where
-    XLA's N=64 output tile caps the MXU at ~31% (PROFILE_r02.md); the
-    kernel's dy-K/dx-N stacking runs both MXU dims full.
-    """
-
-    features: int
-    use_bias: bool = True
-    relu: bool = False
-    rows_per_step: int = 4
-
-    @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,
-        x2: Optional[jax.Array] = None,
-        *,
-        planar_hw: Optional[Tuple[int, int]] = None,
-        planar_out: bool = False,
-    ) -> jax.Array:
-        from rtnr_tpu.ops.conv_pallas import (
-            conv3x3_pallas, conv3x3_planar, from_planar,
-        )
-
-        if planar_hw is not None:
-            h, w = planar_hw
-            c_in = x.shape[0] // (h + 2) + (
-                0 if x2 is None else x2.shape[0] // (h + 2)
-            )
-        else:
-            c_in = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
-            jnp.float32,
-        )
-        bias = (
-            self.param("bias", nn.initializers.zeros_init(), (self.features,),
-                       jnp.float32)
-            if self.use_bias
-            else None
-        )
-        xs = (x,) if x2 is None else (x, x2)
-        if planar_hw is not None:
-            # inputs already planar ((H+2)*C, Wp) — chain without converting
-            yp = conv3x3_planar(
-                xs, kernel, bias, h=h, w=w, relu=self.relu,
-                rows_per_step=self.rows_per_step,
-            )
-            return yp if planar_out else from_planar(yp, h, w, self.features)
-        assert not planar_out
-        return conv3x3_pallas(
-            [a.astype(jnp.bfloat16) for a in xs], kernel, bias,
-            relu=self.relu, rows_per_step=self.rows_per_step,
-        )
-
-
 class ConvParams(nn.Module):
     """Bare parameter holder matching ``nn.Conv``'s tree ("kernel"/"bias")
     for paths that hand the arrays to a Pallas kernel directly — checkpoint
@@ -290,20 +229,6 @@ class ConvParams(nn.Module):
         return k, b
 
 
-def _pallas_conv_ok(x: jax.Array, train: bool, rows_per_step: int = 4) -> bool:
-    """Gate for the Pallas conv lowering: inference, bf16-compatible, TPU
-    backend, large image, kernel shape constraints satisfied."""
-    if train or jax.default_backend() != "tpu":
-        return False
-    n, h, w = x.shape[0], x.shape[1], x.shape[2]
-    return (
-        n == 1  # planar layout is per-image
-        and h * w >= (1 << 20)
-        and w % 128 == 0
-        and h % rows_per_step == 0
-    )
-
-
 class DoubleConv(nn.Module):
     """(Conv3x3 no-bias -> BatchNorm -> ReLU) x 2 (reference model.py:5-19).
 
@@ -322,8 +247,9 @@ class DoubleConv(nn.Module):
     # "im2col" (explicit patches + one dot), "pad8" (zero-extend channels
     # to 8, native conv), "native" (XLA conv as-is)
     tiny_cin_impl: str = "im2col"
-    # "pallas": large-image inference convs run the Pallas direct kernel
-    # (fused bias+ReLU; see Conv3x3Pallas); "xla": native convs everywhere
+    # "pallas" (used via UNet's phase path only): convs run as packed
+    # phase-planar Pallas kernels through the ``split`` call mode; the
+    # plain NHWC call always uses XLA convs
     conv_impl: str = "xla"
 
     @nn.compact
@@ -335,59 +261,33 @@ class DoubleConv(nn.Module):
         split: Optional[dict] = None,
     ):
         if split is not None:
-            # split-planar fused pair (ops/conv_split.py): x (and x2) are
-            # (E, O) planar tuples; returns (E, O) [+ pooled planar].
-            # Params keep nn.Conv's tree (conv0/conv1 kernel+bias).
-            from rtnr_tpu.ops.conv_split import conv3x3_split
+            # packed phase-planar fused pair (ops/conv_phase.py): x (and
+            # x2) are packed P-phase arrays; returns (out,) or
+            # (out, pooled). Params keep nn.Conv's tree (conv0/conv1).
+            from rtnr_tpu.ops.conv_phase import conv3x3_phase
 
             assert self.fold_bn and not train
-            h, w = split["h"], split["w"]
+            h, w, P = split["h"], split["w"], split["P"]
             c0 = split["c_in"]  # true (pre-padding) input channels
-            cin = c0 + (split.get("c_in2", 0) if x2 is not None else 0)
+            c2 = split.get("c_in2", 0) if x2 is not None else 0
+            cin = c0 + c2
             interp = split.get("interpret", False)
-            k0, b0 = ConvParams((3, 3, cin, self.features), name="conv0")()
-            arrs = list(x) + (list(x2) if x2 is not None else [])
-            e, o = conv3x3_split(
-                arrs, k0, b0, h=h, w=w, relu=True,
-                rows_per_step=2 if x2 is not None else 4, interpret=interp,
+            f = self.features
+            k0, b0 = ConvParams((3, 3, cin, f), name="conv0")()
+            arrs = [x] + ([x2] if x2 is not None else [])
+            (y,) = conv3x3_phase(
+                arrs, k0, b0, h=h, w=w, P=P, relu=True, interpret=interp,
             )
-            k1, b1 = ConvParams((3, 3, self.features, self.features),
-                                name="conv1")()
+            k1, b1 = ConvParams((3, 3, f, f), name="conv1")()
             head = split.get("head")
-            return conv3x3_split(
-                [e, o], k1, b1,
+            pool = split.get("pool", False)
+            return conv3x3_phase(
+                [y], k1, b1,
                 head_kernel=None if head is None else head[0],
                 head_bias=None if head is None else head[1],
-                h=h, w=w, relu=True, pool=split.get("pool", False),
-                rows_per_step=4, interpret=interp,
+                h=h, w=w, P=P, relu=True, pool=pool, interpret=interp,
             )
-        pallas_base = (
-            self.conv_impl == "pallas"
-            and self.fold_bn
-            and self.dtype == jnp.bfloat16
-            and _pallas_conv_ok(x, train)
-        )
-        if pallas_base and x.shape[-1] * 9 > 128:
-            # fused planar pair: one NHWC->planar conversion per DoubleConv
-            from rtnr_tpu.ops.conv_pallas import from_planar, to_planar
-
-            h, w = x.shape[1], x.shape[2]
-            xp = to_planar(x.astype(jnp.bfloat16))
-            x2p = to_planar(x2.astype(jnp.bfloat16)) if x2 is not None else None
-            yp = Conv3x3Pallas(self.features, relu=True, name="conv0")(
-                xp, x2p, planar_hw=(h, w), planar_out=True
-            )
-            yp = Conv3x3Pallas(self.features, relu=True, name="conv1")(
-                yp, planar_hw=(h, w), planar_out=True
-            )
-            return from_planar(yp, h, w, self.features)
         for i in range(2):
-            # conv1 alone can still go planar when conv0 was tiny-Cin
-            if i == 1 and pallas_base and x.shape[-1] * 9 > 128:
-                x = Conv3x3Pallas(
-                    self.features, use_bias=True, relu=True, name=f"conv{i}"
-                )(x.astype(jnp.bfloat16))
-                continue
             if i == 0 and x2 is not None:
                 x = ConvSplitInput(
                     self.features, dtype=self.dtype, use_bias=self.fold_bn, name="conv0"
@@ -453,11 +353,12 @@ class UNet(nn.Module):
     # im2col-off 49.1 ms, slice_max pool 94.7 ms, matmul up_impl worse in
     # isolation; kept as measured foils.)
     skip_concat: str = "split"
-    # "pallas": the full-resolution segment (down0 pair + fused pool, last
-    # ConvTranspose, updc pair + fused final conv) runs as split-planar
-    # Pallas kernels (ops/conv_split.py) — measured 30.5 ms/apply vs 39.8
-    # XLA at 1088x1920 on v5e (whole-net chained, bench_parts.py).
-    # "xla": native convs everywhere (training, CPU, multi-batch).
+    # "pallas": the WHOLE net runs as packed phase-planar Pallas kernels
+    # (ops/conv_phase.py): every conv pair (+fused 2x2 pool), every
+    # ConvTranspose, and the final 1x1 conv, at every pyramid level —
+    # NHWC only at the 5ch input / 3ch output (measured on v5e,
+    # PROFILE_r02.md). "xla": native convs everywhere (training, CPU,
+    # multi-batch, odd shapes).
     conv_impl: str = "pallas"
     # "convt": XLA's native transposed-conv lowering; "matmul": exact
     # matmul+depth-to-space rewrite (ConvTranspose2x2MatMul). Measured on
@@ -471,20 +372,25 @@ class UNet(nn.Module):
         import os
 
         x = x.astype(self.dtype)
-        # split-planar full-res segment (ops/conv_split.py): down0 pair +
-        # fused pool, last ConvTranspose, updc pair + fused final conv all
-        # run as Pallas kernels in the polyphase layout — no full-res XLA
-        # layout glue. RTNR_SPLIT_FORCE=1 lets CPU tests exercise the path
-        # in interpret mode at small shapes.
+        # Packed phase-planar U-Net (ops/conv_phase.py): EVERY level's conv
+        # pair (+fused pool), every ConvTranspose, and the final 1x1 conv
+        # run as Pallas kernels in the P-phase polyphase layout (full-res
+        # P = 2^levels, halving per level) — NHWC touches only the
+        # 5-channel input and 3-channel output, eliminating XLA's layout
+        # glue throughout. RTNR_SPLIT_FORCE=1 lets CPU tests exercise the
+        # path in interpret mode at small shapes.
         force = os.environ.get("RTNR_SPLIT_FORCE") == "1"
-        use_split = (
+        n_lv = len(self.features)
+        P0 = 1 << n_lv
+        use_phase = (
             self.conv_impl == "pallas"
             and self.fold_bn
             and not train
             and self.dtype == jnp.bfloat16
             and x.shape[0] == 1
-            and x.shape[1] % 8 == 0
-            and x.shape[2] % 2 == 0
+            and x.shape[1] % (4 << n_lv) == 0
+            and x.shape[2] % P0 == 0
+            and x.shape[2] // P0 <= 128
             and self.features[0] % 8 == 0
             and (
                 force
@@ -493,23 +399,11 @@ class UNet(nn.Module):
             )
         )
         interp = force and jax.default_backend() != "tpu"
-        if use_split:
-            from rtnr_tpu.ops.conv_split import from_planar_half, to_split
-
-            h0, w0, c_in0 = x.shape[1], x.shape[2], x.shape[3]
+        if use_phase:
+            return self._phase_forward(x, P0, interp)
 
         skips = []
         for i, f in enumerate(self.features):
-            if i == 0 and use_split:
-                e, o, pooled = DoubleConv(
-                    f, dtype=self.dtype, fold_bn=self.fold_bn,
-                    conv_impl=self.conv_impl, name="down0",
-                )(to_split(x), train,
-                  split=dict(h=h0, w=w0, c_in=c_in0, pool=True,
-                             interpret=interp))
-                skips.append((e, o))
-                x = from_planar_half(pooled, h0 // 2, w0 // 2, f)
-                continue
             x = DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
                            tiny_cin_impl=self.tiny_cin_impl,
                            conv_impl=self.conv_impl, name=f"down{i}")(x, train)
@@ -525,28 +419,6 @@ class UNet(nn.Module):
         x = DoubleConv(self.features[-1] * 2, dtype=self.dtype, fold_bn=self.fold_bn, name="bottleneck")(x, train)
 
         for i, f in enumerate(reversed(self.features)):
-            if use_split and i == len(self.features) - 1:
-                # last up stage fully split-planar: ConvTranspose kernel ->
-                # updc pair with fused final 1x1 conv; no full-res XLA ops
-                from rtnr_tpu.ops.conv_split import (
-                    convt2x2_split, from_split, to_planar_half,
-                )
-
-                kup, bup = ConvParams((2, 2, x.shape[-1], f),
-                                      name=f"up{i}")()
-                ue, uo = convt2x2_split(
-                    to_planar_half(x.astype(jnp.bfloat16)), kup, bup,
-                    h=h0, w=w0, rows_per_step=4, interpret=interp,
-                )
-                kf, bf = ConvParams((1, 1, f, self.out_channels),
-                                    name="final_conv")()
-                e, o = DoubleConv(
-                    f, dtype=self.dtype, fold_bn=self.fold_bn,
-                    conv_impl=self.conv_impl, name=f"updc{i}",
-                )(skips[0], train, x2=(ue, uo),
-                  split=dict(h=h0, w=w0, c_in=f, c_in2=f,
-                             head=(kf[0, 0], bf), interpret=interp))
-                return from_split(e, o, h0, w0, 8)[..., : self.out_channels]
             if self.up_impl == "matmul":
                 x = ConvTranspose2x2MatMul(f, dtype=self.dtype, name=f"up{i}")(x)
             else:
@@ -575,6 +447,57 @@ class UNet(nn.Module):
         return nn.Conv(
             self.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="final_conv"
         )(x)
+
+    def _phase_forward(self, x: jax.Array, P0: int, interp: bool) -> jax.Array:
+        """Whole-net packed phase-planar forward (inference, folded BN).
+        Parameter tree is identical to the XLA path's (ConvParams mirrors
+        nn.Conv/nn.ConvTranspose), so checkpoints interchange."""
+        from rtnr_tpu.ops.conv_phase import (
+            convt2x2_phase, from_phase, to_phase,
+        )
+
+        h0, w0, c0 = x.shape[1], x.shape[2], x.shape[3]
+        xp = to_phase(x, P0)
+        P, hs, ws, cc = P0, h0, w0, c0
+        skips = []
+        for i, f in enumerate(self.features):
+            skip, pooled = DoubleConv(
+                f, dtype=self.dtype, fold_bn=self.fold_bn,
+                conv_impl=self.conv_impl, name=f"down{i}",
+            )(xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc, pool=True,
+                                    interpret=interp))
+            skips.append(skip)
+            xp, P, hs, ws, cc = pooled, P // 2, hs // 2, ws // 2, f
+
+        (xp,) = DoubleConv(
+            self.features[-1] * 2, dtype=self.dtype, fold_bn=self.fold_bn,
+            conv_impl=self.conv_impl, name="bottleneck",
+        )(xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc, interpret=interp))
+        cc = self.features[-1] * 2
+
+        for i, f in enumerate(reversed(self.features)):
+            kup, bup = ConvParams((2, 2, cc, f), name=f"up{i}")()
+            hs, ws = hs * 2, ws * 2
+            tr_t = 4 if (hs // 2) % 4 == 0 and cc < 512 else 2
+            xp = convt2x2_phase(
+                xp, kup, bup, h=hs, w=ws, P=P, rows_per_step=tr_t,
+                interpret=interp,
+            )
+            P *= 2
+            last = i == len(self.features) - 1
+            head = None
+            if last:
+                kf, bf = ConvParams((1, 1, f, self.out_channels),
+                                    name="final_conv")()
+                head = (kf[0, 0], bf)
+            (xp,) = DoubleConv(
+                f, dtype=self.dtype, fold_bn=self.fold_bn,
+                conv_impl=self.conv_impl, name=f"updc{i}",
+            )(skips[-(i + 1)], False, x2=xp,
+              split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f, head=head,
+                         interpret=interp))
+            cc = f
+        return from_phase(xp, h0, w0, 8, P)[..., : self.out_channels]
 
 
 def init_unet(

@@ -1,0 +1,653 @@
+"""P-phase packed polyphase Pallas kernels: the whole U-Net pyramid in one
+layout family.
+
+Generalizes the even/odd split-planar design: an (H, W, C) activation at
+pyramid level l is stored as ONE array ((H+2)*C, P*WS) bf16 where
+P = 2**(levels-l) phases (full resolution P=16 for a 4-level net), lane
+slot p (width WS=128) holds the columns x = u*P + p at slot-local index u
+(u >= W/P lanes are zero; row-blocks 0 and H+1 are zero padding; channels
+on sublanes). Why this layout closes the whole net:
+
+- 2x2 max-pool:   out phase q = max(phase 2q, phase 2q+1) over a row pair
+  — static lane slices at every level, never an interleave;
+- 2x2/s2 ConvT:   out phase 2p+dx of rows 2y+dy = W[1-dy,1-dx] @ in phase p
+  of row y (flax flipped-kernel semantics) — static slot writes;
+- 3x3 conv:       ONE full-MXU matmul A = W2 @ P_mat over all phases
+  (K = 3*sumC, N = TR*P*WS), then the x+-1 taps are two static lane rolls
+  (+-WS for the in-row phase step, wrap rolls for the phase-boundary step)
+  selected by a phase mask — FLOP-identical to the conv;
+- skips chain decoder<->encoder at the same level with zero conversions;
+  NHWC touches only the 5-channel input and 3-channel output.
+
+Every Mosaic constraint holds by construction (all DMA minor dims are
+P*WS multiples of 128; slot arithmetic is power-of-two). Forward/inference
+only. Semantics source: reference model/model.py:5-19 (DoubleConv),
+:36-42 (Up), :45 (final 1x1); measured rationale in PROFILE_r02.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WS = 128  # lanes per phase slot
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def to_phase(x: jax.Array, P: int) -> jax.Array:
+    """(1, H, W, C) -> packed phase-planar ((H+2)*C8, P*WS) bf16."""
+    n, h, w, c = x.shape
+    assert n == 1 and w % P == 0 and w // P <= WS
+    c8 = _round_up(c, 8)
+    if c8 != c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c8 - c)))
+    wu = w // P
+    xt = jnp.transpose(x[0].astype(jnp.bfloat16), (0, 2, 1))  # (H, C8, W)
+    xt = xt.reshape(h, c8, wu, P).transpose(0, 1, 3, 2)  # (H, C8, P, WU)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, WS - wu)))
+    xt = xt.reshape(h * c8, P * WS)
+    z = jnp.zeros((c8, P * WS), jnp.bfloat16)
+    return jnp.concatenate([z, xt, z], axis=0)
+
+
+def from_phase(y: jax.Array, h: int, w: int, c: int, P: int) -> jax.Array:
+    """packed phase-planar -> (1, H, W, C) (drops padding)."""
+    c8 = y.shape[0] // (h + 2)
+    wu = w // P
+    core = y[c8 : (h + 1) * c8].reshape(h, c8, P, WS)[:, :c, :, :wu]
+    return jnp.transpose(core, (0, 3, 2, 1)).reshape(h, w, c)[None]
+
+
+def _conv_phase_kernel(
+    *refs,
+    n_in: int,
+    C: Tuple[int, ...],
+    F: int,
+    F2: int,
+    FB: int,
+    P: int,
+    WU: int,
+    TR: int,
+    relu: bool,
+    pool: bool,
+    head: bool,
+):
+    nw = 1 + int(head)
+    xs = refs[:n_in]
+    w_hbm = refs[n_in]
+    h_hbm = refs[n_in + 1] if head else None
+    b_hbm = refs[n_in + nw]
+    outs = refs[n_in + nw + 1 :]
+    o_hbm = outs[0]
+    pool_hbm = outs[1] if pool else None
+    scratch = refs[n_in + nw + 1 + 1 + int(pool) :]
+    xs_v = scratch[:n_in]
+    w_v = scratch[n_in]
+    h_v = scratch[n_in + 1] if head else None
+    b_v = scratch[n_in + nw]
+    y_v = scratch[n_in + nw + 1]
+    p_v = scratch[n_in + nw + 2] if pool else None
+    z_v = scratch[n_in + nw + 2 + int(pool)]
+    in_sem = scratch[n_in + nw + 3 + int(pool)]
+    out_sem = scratch[n_in + nw + 4 + int(pool)]
+
+    # grid (F blocks, row steps): weights for output channels
+    # [fb*FB, (fb+1)*FB) stay VMEM-resident across a full row sweep (deep
+    # levels' weight matrices exceed VMEM whole); inputs re-stream per
+    # block (tiny at those levels). Row steps iterate fastest.
+    fb = pl.program_id(0)
+    g = pl.program_id(1)
+    n_fb = pl.num_programs(0)
+    steps = pl.num_programs(1)
+    gg = fb * steps + g
+    even = jax.lax.rem(gg, 2) == 0
+    FO = F2 if head else F
+    LB = P * WS  # lanes per row-block
+    M = TR * LB
+
+    def start_fetch(gn, s):
+        for i in range(n_in):
+            pltpu.make_async_copy(
+                xs[i].at[pl.ds(gn * TR * C[i], (TR + 2) * C[i]), :],
+                xs_v[i].at[s],
+                in_sem.at[s, i],
+            ).start()
+
+    def wait_fetch(s):
+        for i in range(n_in):
+            pltpu.make_async_copy(
+                xs[i].at[pl.ds(0, (TR + 2) * C[i]), :], xs_v[i].at[s],
+                in_sem.at[s, i],
+            ).wait()
+
+    @pl.when(gg == 0)
+    def _():
+        start_fetch(0, 0)
+        if head:
+            cp = pltpu.make_async_copy(h_hbm, h_v, out_sem)
+            cp.start()
+            cp.wait()
+        cp = pltpu.make_async_copy(b_hbm, b_v, out_sem)
+        cp.start()
+        cp.wait()
+        z_v[:, :] = jnp.zeros((FB, LB), jnp.bfloat16)
+
+    @pl.when(g == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            w_hbm.at[pl.ds(fb * 3 * FB, 3 * FB), :], w_v, out_sem
+        )
+        cp.start()
+        cp.wait()
+
+    nxt_g = jnp.where(g + 1 < steps, g + 1, 0)
+    more = (g + 1 < steps) | (fb + 1 < n_fb)
+
+    @pl.when(more & even)
+    def _():
+        start_fetch(nxt_g, 1)
+
+    @pl.when(more & jnp.logical_not(even))
+    def _():
+        start_fetch(nxt_g, 0)
+
+    @pl.when(even)
+    def _():
+        wait_fetch(0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        wait_fetch(1)
+
+    slot = jax.lax.rem(gg, 2)
+
+    pieces = []
+    for i in range(n_in):
+        xi = xs_v[i][slot]
+        ci = C[i]
+        pieces.append(
+            jnp.concatenate(
+                [xi[t * ci : (t + 3) * ci, :] for t in range(TR)], axis=1
+            )
+        )
+    P_mat = pieces[0] if n_in == 1 else jnp.concatenate(pieces, axis=0)
+
+    def mm(lhs, rhs):
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    sumC = sum(C)
+    A = mm(w_v[:, :][:, 0 : 3 * sumC], P_mat)  # (3*FB, M) f32
+    A0, A1, A2 = A[0:FB, :], A[FB : 2 * FB, :], A[2 * FB :, :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (FB, M), 1)
+    lb = lane & (LB - 1)  # lane within row-block (LB is a power of two)
+    p = lb >> 7
+    u = lb & (WS - 1)
+    zero = jnp.float32(0.0)
+
+    # left tap x-1: phase p-1 same u, or (phase P-1, u-1) at p==0
+    left = pltpu.roll(A0, WS, axis=1)
+    if P > 1:
+        lwrap = pltpu.roll(A0, (M + 1 - (P - 1) * WS) % M, axis=1)
+        left = jnp.where(p > 0, left, lwrap)
+    else:
+        left = pltpu.roll(A0, 1, axis=1)
+    not_x0 = jnp.logical_not((p == 0) & (u == 0))
+    y = A1 + jnp.where(not_x0, left, zero)
+
+    # right tap x+1: phase p+1 same u, or (phase 0, u+1) at p==P-1
+    right = pltpu.roll(A2, M - WS, axis=1)
+    if P > 1:
+        rwrap = pltpu.roll(A2, ((P - 1) * WS - 1) % M, axis=1)
+        right = jnp.where(p < P - 1, right, rwrap)
+    else:
+        right = pltpu.roll(A2, M - 1, axis=1)
+    not_xl = jnp.logical_not((p == P - 1) & (u == WU - 1))
+    y = y + jnp.where(not_xl, right, zero)
+
+    y = y + b_v[pl.ds(fb * FB, FB), 0:1].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, zero)
+    y = jnp.where(u < WU, y, zero)
+
+    if head:  # n_fb == 1 (asserted by the wrapper)
+        h2 = h_v[:, :][:, 0:F]
+        hb = b_v[F : F + F2, 0:1].astype(jnp.float32)
+        u2 = (
+            jax.lax.broadcasted_iota(jnp.int32, (F2, M), 1) & (WS - 1)
+        )
+        y = mm(h2, y.astype(jnp.bfloat16)) + hb
+        y = jnp.where(u2 < WU, y, zero)
+
+    y_b = y.astype(jnp.bfloat16)
+    y_v[:, :] = y_b
+
+    dmas = []
+    for t in range(TR):
+        dma = pltpu.make_async_copy(
+            y_v.at[:, pl.ds(t * LB, LB)],
+            o_hbm.at[pl.ds((1 + g * TR + t) * FO + (0 if head else fb * FB),
+                           FB if not head else FO), :],
+            out_sem,
+        )
+        dma.start()
+        dmas.append(dma)
+
+    if pool:
+        # out phase q = max over phases 2q, 2q+1 and image-row pair
+        for s in range(TR // 2):
+            cols = []
+            for q in range(P // 2):
+                vals = []
+                for t in (2 * s, 2 * s + 1):
+                    for pp in (2 * q, 2 * q + 1):
+                        vals.append(
+                            y_b[:, t * LB + pp * WS : t * LB + (pp + 1) * WS]
+                        )
+                m = jnp.maximum(jnp.maximum(vals[0], vals[1]),
+                                jnp.maximum(vals[2], vals[3]))
+                cols.append(m)
+            p_v[:, pl.ds(s * (LB // 2), LB // 2)] = jnp.concatenate(cols, axis=1)
+        for s in range(TR // 2):
+            dma = pltpu.make_async_copy(
+                p_v.at[:, pl.ds(s * (LB // 2), LB // 2)],
+                pool_hbm.at[
+                    pl.ds((1 + g * (TR // 2) + s) * F + fb * FB, FB), :
+                ],
+                out_sem,
+            )
+            dma.start()
+            dmas.append(dma)
+
+    for dma in dmas:
+        dma.wait()
+
+    # zero pad blocks (each F block writes its channel slice)
+    @pl.when(g == 0)
+    def _():
+        d1 = pltpu.make_async_copy(
+            z_v.at[pl.ds(0, FB if not head else FO), pl.ds(0, LB)],
+            o_hbm.at[pl.ds(0 if head else fb * FB, FB if not head else FO), :],
+            out_sem,
+        )
+        d1.start()
+        d1.wait()
+        if pool:
+            d2 = pltpu.make_async_copy(
+                z_v.at[pl.ds(0, FB), pl.ds(0, LB // 2)],
+                pool_hbm.at[pl.ds(fb * FB, FB), :],
+                out_sem,
+            )
+            d2.start()
+            d2.wait()
+
+    @pl.when(g == steps - 1)
+    def _():
+        d1 = pltpu.make_async_copy(
+            z_v.at[pl.ds(0, FB if not head else FO), pl.ds(0, LB)],
+            o_hbm.at[
+                pl.ds((steps * TR + 1) * FO + (0 if head else fb * FB),
+                      FB if not head else FO),
+                :,
+            ],
+            out_sem,
+        )
+        d1.start()
+        d1.wait()
+        if pool:
+            d2 = pltpu.make_async_copy(
+                z_v.at[pl.ds(0, FB), pl.ds(0, LB // 2)],
+                pool_hbm.at[pl.ds((steps * (TR // 2) + 1) * F + fb * FB, FB), :],
+                out_sem,
+            )
+            d2.start()
+            d2.wait()
+
+
+def _pick_tr_fb(
+    h: int, P: int, Cs: Tuple[int, ...], F: int, pool: bool, head: bool
+) -> Tuple[int, int]:
+    """Largest (rows-per-step, F-block) whose VMEM footprint fits (~13 MB
+    of the 16 MB scoped limit), per the kernel's scratch + live values."""
+    budget = 13_000_000
+    sumC = sum(Cs)
+    for tr in (8, 4, 2):
+        if h % tr or (pool and tr % 2):
+            continue
+        m = tr * P * WS
+        base = (
+            sum(2 * (tr + 2) * c * P * WS * 2 for c in Cs)  # fetch, 2 slots
+            + 3 * sumC * m * 2  # P matrix bf16
+        )
+        fbs = [F] if head else [f for f in (F, F // 2, F // 4, F // 8)
+                                if f >= 8 and f % 8 == 0]
+        for fbl in fbs:
+            est = (
+                base
+                + 3 * fbl * 3 * sumC * 2  # weight block
+                + 3 * fbl * m * 4  # A f32
+                + fbl * m * 2 * (2 if pool else 1)  # y (+ pool staging)
+            )
+            if est <= budget:
+                return tr, fbl
+    return 2, 8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "P", "relu", "pool", "rows_per_step",
+                     "interpret"),
+)
+def conv3x3_phase(
+    xs: Sequence[jax.Array],
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    head_kernel: Optional[jax.Array] = None,
+    head_bias: Optional[jax.Array] = None,
+    *,
+    h: int,
+    w: int,
+    P: int,
+    relu: bool = False,
+    pool: bool = False,
+    rows_per_step: Optional[int] = None,
+    interpret: bool = False,
+):
+    """3x3 s1 same conv over the channel-concat of packed phase-planar
+    inputs at P phases; optional fused ReLU, 2x2-max-pool side output
+    (packed at P/2 phases), and fused 1x1 head (applied after ReLU; head
+    output channels pad to 8). Returns (out,) / (out, pooled)."""
+    n_in = len(xs)
+    assert n_in in (1, 2)
+    assert w % P == 0 and w // P <= WS
+    Cs = tuple(int(x.shape[0]) // (h + 2) for x in xs)
+    sumC = sum(Cs)
+    F = kernel.shape[-1]
+    head = head_kernel is not None
+    assert not (head and pool)
+    tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head)
+    TR = rows_per_step or tr_auto
+    n_fb = F // FB
+    assert h % TR == 0 and (not pool or (TR % 2 == 0 and P % 2 == 0))
+    steps = h // TR
+    F2 = _round_up(head_kernel.shape[-1], 8) if head else F
+
+    kc = kernel.shape[2]
+    if kc < sumC:  # zero-weight rows for stored channel padding
+        kernel = jnp.concatenate(
+            [kernel, jnp.zeros((3, 3, sumC - kc, F), kernel.dtype)], axis=2
+        )
+    kparts = []
+    off = 0
+    for c in Cs:
+        kp = kernel[:, :, off : off + c, :]
+        off += c
+        kparts.append(kp.transpose(1, 3, 0, 2).reshape(3 * F, 3 * c))
+    w2 = jnp.concatenate(kparts, axis=1).astype(jnp.bfloat16)
+    # rearrange into F blocks (block fb holds rows (dx, fb*FB + j)); the
+    # K dim pads to a lane tile so the per-block DMA slice is legal
+    # (sub-128 minor dims cannot be memref_sliced)
+    K128 = _round_up(3 * sumC, 128)
+    w2 = (
+        w2.reshape(3, n_fb, FB, 3 * sumC)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_fb * 3 * FB, 3 * sumC)
+    )
+    w2 = jnp.pad(w2, ((0, 0), (0, K128 - 3 * sumC)))
+
+    bvec = jnp.zeros((F,), jnp.float32) if bias is None else bias
+    brows = [jnp.broadcast_to(bvec.astype(jnp.bfloat16)[:, None], (F, 128))]
+    args = list(xs) + [w2]
+    if head:
+        f2 = head_kernel.shape[-1]
+        hk = head_kernel.astype(jnp.bfloat16).T
+        if f2 < F2:
+            hk = jnp.concatenate([hk, jnp.zeros((F2 - f2, F), jnp.bfloat16)])
+        args.append(jnp.pad(hk, ((0, 0), (0, _round_up(F, 128) - F))))
+        hb = jnp.zeros((f2,), jnp.float32) if head_bias is None else head_bias
+        hb = jnp.concatenate(
+            [hb.astype(jnp.float32), jnp.zeros((F2 - f2,), jnp.float32)]
+        )
+        brows.append(
+            jnp.broadcast_to(hb.astype(jnp.bfloat16)[:, None], (F2, 128))
+        )
+    args.append(jnp.concatenate(brows, axis=0))
+
+    FO = F2 if head else F
+    LB = P * WS
+    out_shapes = [jax.ShapeDtypeStruct(((h + 2) * FO, LB), jnp.bfloat16)]
+    if pool:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(((h // 2 + 2) * F, LB // 2), jnp.bfloat16)
+        )
+
+    scratch = [
+        pltpu.VMEM((2, (TR + 2) * c, LB), jnp.bfloat16) for c in Cs
+    ]
+    scratch += [pltpu.VMEM((3 * FB, K128), jnp.bfloat16)]
+    if head:
+        scratch += [pltpu.VMEM((F2, _round_up(F, 128)), jnp.bfloat16)]
+    scratch += [
+        pltpu.VMEM((F + (F2 if head else 0), 128), jnp.bfloat16),
+        pltpu.VMEM((F2 if head else FB, TR * LB), jnp.bfloat16),  # y
+    ]
+    if pool:
+        scratch += [pltpu.VMEM((FB, (TR // 2) * (LB // 2)), jnp.bfloat16)]
+    scratch += [
+        pltpu.VMEM((FB, LB), jnp.bfloat16),  # zero pad block
+        pltpu.SemaphoreType.DMA((2, n_in)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _conv_phase_kernel,
+            n_in=n_in,
+            C=Cs,
+            F=F,
+            F2=F2,
+            FB=FB,
+            P=P,
+            WU=w // P,
+            TR=TR,
+            relu=relu,
+            pool=pool,
+            head=head,
+        ),
+        out_shape=out_shapes,
+        grid=(n_fb, steps),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(args),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*args)
+    return tuple(outs)
+
+
+def _convt_phase_kernel(
+    x_hbm,
+    w_hbm,
+    b_hbm,
+    o_hbm,
+    x_v,
+    w_v,
+    b_v,
+    y_v,
+    z_v,
+    in_sem,
+    out_sem,
+    *,
+    C: int,
+    F: int,
+    P: int,  # input phases; output has 2P
+    WU: int,
+    TR: int,
+):
+    g = pl.program_id(0)
+    steps = pl.num_programs(0)
+    even = jax.lax.rem(g, 2) == 0
+    LB = P * WS
+    M = TR * LB
+    LBO = 2 * LB
+
+    def start_fetch(gn, s):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds((1 + gn * TR) * C, TR * C), :], x_v.at[s],
+            in_sem.at[s],
+        ).start()
+
+    def wait_fetch(s):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, TR * C), :], x_v.at[s], in_sem.at[s]
+        ).wait()
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(0, 0)
+        cp = pltpu.make_async_copy(w_hbm, w_v, out_sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(b_hbm, b_v, out_sem)
+        cp.start()
+        cp.wait()
+        z_v[:, :] = jnp.zeros((F, LBO), jnp.bfloat16)
+
+    @pl.when((g + 1 < steps) & even)
+    def _():
+        start_fetch(g + 1, 1)
+
+    @pl.when((g + 1 < steps) & jnp.logical_not(even))
+    def _():
+        start_fetch(g + 1, 0)
+
+    @pl.when(even)
+    def _():
+        wait_fetch(0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        wait_fetch(1)
+
+    slot = jax.lax.rem(g, 2)
+    P_mat = jnp.concatenate(
+        [x_v[slot][t * C : (t + 1) * C, :] for t in range(TR)], axis=1
+    )  # (C, M)
+    A = jax.lax.dot_general(
+        w_v[:, :], P_mat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (4F, M)
+    bias = b_v[:, 0:1].astype(jnp.float32)
+    u = jax.lax.broadcasted_iota(jnp.int32, (F, M), 1) & (WS - 1)
+    Ay = []
+    for j in range(4):
+        yj = A[j * F : (j + 1) * F, :] + bias
+        yj = jnp.where(u < WU, yj, jnp.float32(0.0))
+        Ay.append(yj.astype(jnp.bfloat16))
+
+    # out image row 2(g*TR+t)+dy, phase 2p+dx <- Ay[2*dy+dx] slot (t, p);
+    # each dy half holds TR out-rows of LBO = 2*LB lanes (2M per half)
+    for dy in range(2):
+        row_cols = []
+        for t in range(TR):
+            for p in range(P):
+                for dx in range(2):
+                    row_cols.append(
+                        Ay[2 * dy + dx][:, t * LB + p * WS : t * LB + (p + 1) * WS]
+                    )
+        y_v[:, pl.ds(dy * 2 * M, 2 * M)] = jnp.concatenate(row_cols, axis=1)
+
+    dmas = []
+    for t in range(TR):
+        for dy in range(2):
+            dma = pltpu.make_async_copy(
+                y_v.at[:, pl.ds(dy * 2 * M + t * LBO, LBO)],
+                o_hbm.at[pl.ds((1 + (g * TR + t) * 2 + dy) * F, F), :],
+                out_sem,
+            )
+            dma.start()
+            dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+    @pl.when(g == 0)
+    def _():
+        dma = pltpu.make_async_copy(z_v, o_hbm.at[pl.ds(0, F), :], out_sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(g == steps - 1)
+    def _():
+        dma = pltpu.make_async_copy(
+            z_v, o_hbm.at[pl.ds((2 * steps * TR + 1) * F, F), :], out_sem
+        )
+        dma.start()
+        dma.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "P", "rows_per_step", "interpret")
+)
+def convt2x2_phase(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    h: int,  # OUTPUT height
+    w: int,  # OUTPUT width
+    P: int,  # INPUT phases (output has 2P)
+    rows_per_step: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """2x2-stride-2 transposed conv: packed phase-planar (P phases,
+    h/2 x w/2) in -> packed (2P phases, h x w) out. kernel (2, 2, C, F)
+    (flax ConvTranspose HWIO, spatially flipped semantics), bias (F,)."""
+    hh = h // 2
+    C = x.shape[0] // (hh + 2)
+    F = kernel.shape[-1]
+    TR = rows_per_step
+    assert hh % TR == 0 and x.shape[1] == P * WS and (w // 2) % P == 0
+    steps = hh // TR
+
+    # flax ConvTranspose applies the SPATIALLY FLIPPED kernel; with stride
+    # == kernel size output subpixel (dy, dx) reads kernel[1-dy, 1-dx]
+    # (models/unet.py ConvTranspose2x2MatMul:115-118)
+    w4 = (
+        kernel[::-1, ::-1].transpose(0, 1, 3, 2).reshape(4 * F, C)
+        .astype(jnp.bfloat16)
+    )
+    bvec = jnp.zeros((F,), jnp.float32) if bias is None else bias
+    brow = jnp.broadcast_to(bvec.astype(jnp.bfloat16)[:, None], (F, 128))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _convt_phase_kernel, C=C, F=F, P=P, WU=(w // 2) // P, TR=TR
+        ),
+        out_shape=jax.ShapeDtypeStruct(((h + 2) * F, 2 * P * WS), jnp.bfloat16),
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, TR * C, P * WS), jnp.bfloat16),
+            pltpu.VMEM((4 * F, C), jnp.bfloat16),
+            pltpu.VMEM((F, 128), jnp.bfloat16),
+            pltpu.VMEM((F, 4 * TR * P * WS), jnp.bfloat16),
+            pltpu.VMEM((F, 2 * P * WS), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(x, w4, brow)
+    return out

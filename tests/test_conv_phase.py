@@ -1,7 +1,7 @@
-"""Split-planar Pallas kernels (ops/conv_split.py): interpret-mode
-correctness against XLA references — 3x3 conv (edges, bias+ReLU, two-input
-virtual concat, fused pool, fused 1x1 head, channel padding) and the
-2x2-stride-2 ConvTranspose (flax flipped-kernel semantics)."""
+"""P-phase packed polyphase kernels (ops/conv_phase.py): interpret-mode
+correctness at P in {1, 2, 4} against XLA references — conv (edges,
+bias+ReLU, two-input, fused pool, fused head, channel pad), ConvTranspose
+(flipped-kernel flax semantics), and layout round-trips."""
 
 import numpy as np
 import pytest
@@ -10,13 +10,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from rtnr_tpu.ops.conv_split import (
-    conv3x3_split,
-    convt2x2_split,
-    from_planar_half,
-    from_split,
-    to_planar_half,
-    to_split,
+from rtnr_tpu.ops.conv_phase import (
+    conv3x3_phase,
+    convt2x2_phase,
+    from_phase,
+    to_phase,
 )
 
 
@@ -38,27 +36,33 @@ def mk(shape, seed, scale=1.0):
     return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
 
 
+def test_phase_roundtrip():
+    x = mk((1, 6, 24, 16), 0).astype(jnp.bfloat16)
+    for P in (1, 2, 4):
+        y = from_phase(to_phase(x, P), 6, 24, 16, P)
+        np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                      np.asarray(x, np.float32))
+
+
+@pytest.mark.parametrize("P", [1, 2, 4])
 @pytest.mark.parametrize("cs,f", [((16,), 16), ((16, 8), 16)])
-@pytest.mark.parametrize("bias,relu", [(False, False), (True, True)])
-def test_conv_split_interpret(cs, f, bias, relu):
+def test_conv_phase_interpret(P, cs, f):
     N, H, W = 1, 8, 32
     xs = [mk((N, H, W, c), 10 + i).astype(jnp.bfloat16) for i, c in enumerate(cs)]
     kernel = mk((3, 3, sum(cs), f), 1, 0.2)
-    b = mk((f,), 2) if bias else None
-
-    sp = []
-    for x in xs:
-        sp.extend(to_split(x))
-    outs = conv3x3_split(
-        sp, kernel, b, h=H, w=W, relu=relu, rows_per_step=2, interpret=True
+    b = mk((f,), 2)
+    xp = [to_phase(x, P) for x in xs]
+    (out,) = conv3x3_phase(
+        xp, kernel, b, h=H, w=W, P=P, relu=True, rows_per_step=2,
+        interpret=True,
     )
-    got = from_split(outs[0], outs[1], H, W, f)
-    want = ref_conv(xs, kernel, b, relu=relu)
+    got = from_phase(out, H, W, f, P)
+    want = ref_conv(xs, kernel, b, relu=True)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=3e-2, atol=3e-2,
     )
-    # first/last columns exercise the polyphase edge masks
+    # edge columns exercise the phase-boundary wrap rolls and masks
     for col in (0, 1, W - 2, W - 1):
         np.testing.assert_allclose(
             np.asarray(got[:, :, col], np.float32),
@@ -66,18 +70,16 @@ def test_conv_split_interpret(cs, f, bias, relu):
         )
 
 
-def test_conv_split_channel_pad():
-    """5-channel input (padded to 8 in the split layout) matches the dense
-    5-channel conv — the U-Net's packed-input conv0."""
-    N, H, W, F = 1, 8, 32, 16
+def test_conv_phase_channel_pad():
+    N, H, W, F, P = 1, 8, 32, 16, 4
     x = mk((N, H, W, 5), 3).astype(jnp.bfloat16)
     kernel = mk((3, 3, 5, F), 4, 0.2)
     b = mk((F,), 5)
-    e, o = to_split(x)  # pads channels to 8
-    outs = conv3x3_split(
-        [e, o], kernel, b, h=H, w=W, relu=True, rows_per_step=2, interpret=True
+    (out,) = conv3x3_phase(
+        [to_phase(x, P)], kernel, b, h=H, w=W, P=P, relu=True,
+        rows_per_step=2, interpret=True,
     )
-    got = from_split(outs[0], outs[1], H, W, F)
+    got = from_phase(out, H, W, F, P)
     want = ref_conv([x], kernel, b, relu=True)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
@@ -85,45 +87,41 @@ def test_conv_split_channel_pad():
     )
 
 
-def test_conv_split_fused_pool():
+@pytest.mark.parametrize("P", [2, 4])
+def test_conv_phase_fused_pool(P):
     N, H, W, C, F = 1, 8, 32, 8, 16
     x = mk((N, H, W, C), 6).astype(jnp.bfloat16)
     kernel = mk((3, 3, C, F), 7, 0.2)
     b = mk((F,), 8)
-    e, o = to_split(x)
-    ye, yo, pooled = conv3x3_split(
-        [e, o], kernel, b, h=H, w=W, relu=True, pool=True, rows_per_step=2,
-        interpret=True,
+    out, pooled = conv3x3_phase(
+        [to_phase(x, P)], kernel, b, h=H, w=W, P=P, relu=True, pool=True,
+        rows_per_step=2, interpret=True,
     )
     conv = ref_conv([x], kernel, b, relu=True)
-    want_pool = nn.max_pool(conv, window_shape=(2, 2), strides=(2, 2))
-    got_full = from_split(ye, yo, H, W, F)
     np.testing.assert_allclose(
-        np.asarray(got_full, np.float32), np.asarray(conv, np.float32),
-        rtol=3e-2, atol=3e-2,
+        np.asarray(from_phase(out, H, W, F, P), np.float32),
+        np.asarray(conv, np.float32), rtol=3e-2, atol=3e-2,
     )
-    got_pool = from_planar_half(pooled, H // 2, W // 2, F)
+    want_pool = nn.max_pool(conv, window_shape=(2, 2), strides=(2, 2))
+    got_pool = from_phase(pooled, H // 2, W // 2, F, P // 2)
     np.testing.assert_allclose(
         np.asarray(got_pool, np.float32), np.asarray(want_pool, np.float32),
         rtol=3e-2, atol=3e-2,
     )
 
 
-def test_conv_split_fused_head():
-    """conv + ReLU + fused 1x1 head == conv -> relu -> 1x1 conv (the
-    decoder-final fusion; head output channels pad to 8)."""
-    N, H, W, C, F, F2 = 1, 8, 32, 8, 16, 3
+def test_conv_phase_fused_head():
+    N, H, W, C, F, F2, P = 1, 8, 32, 8, 16, 3, 2
     x = mk((N, H, W, C), 9).astype(jnp.bfloat16)
     kernel = mk((3, 3, C, F), 11, 0.2)
     b = mk((F,), 12)
     hk = mk((F, F2), 13, 0.3)
     hb = mk((F2,), 14)
-    e, o = to_split(x)
-    ye, yo = conv3x3_split(
-        [e, o], kernel, b, head_kernel=hk, head_bias=hb, h=H, w=W,
-        relu=True, rows_per_step=2, interpret=True,
+    (out,) = conv3x3_phase(
+        [to_phase(x, P)], kernel, b, head_kernel=hk, head_bias=hb,
+        h=H, w=W, P=P, relu=True, rows_per_step=2, interpret=True,
     )
-    got = from_split(ye, yo, H, W, 8)[..., :F2]
+    got = from_phase(out, H, W, 8, P)[..., :F2]
     conv = ref_conv([x], kernel, b, relu=True)
     want = (
         jnp.einsum("nhwc,cf->nhwf", conv.astype(jnp.bfloat16),
@@ -135,23 +133,20 @@ def test_conv_split_fused_head():
     )
 
 
-def test_convt_split_interpret():
-    """Matches flax nn.ConvTranspose (2,2) stride 2 VALID bit-for-bit in
-    fp32-land (flipped-kernel semantics)."""
+@pytest.mark.parametrize("P_in", [1, 2])
+def test_convt_phase_interpret(P_in):
     N, Hh, Wh, C, F = 1, 4, 16, 8, 16
     x = mk((N, Hh, Wh, C), 15).astype(jnp.bfloat16)
     kernel = mk((2, 2, C, F), 16, 0.3)
     b = mk((F,), 17)
-
     mod = nn.ConvTranspose(F, kernel_size=(2, 2), strides=(2, 2),
                            padding="VALID", dtype=jnp.bfloat16)
     want = mod.apply({"params": {"kernel": kernel, "bias": b}}, x)
-
-    xp = to_planar_half(x)
-    ye, yo = convt2x2_split(
-        xp, kernel, b, h=2 * Hh, w=2 * Wh, rows_per_step=2, interpret=True
+    out = convt2x2_phase(
+        to_phase(x, P_in), kernel, b, h=2 * Hh, w=2 * Wh, P=P_in,
+        rows_per_step=2, interpret=True,
     )
-    got = from_split(ye, yo, 2 * Hh, 2 * Wh, F)
+    got = from_phase(out, 2 * Hh, 2 * Wh, F, 2 * P_in)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=3e-2, atol=3e-2,
