@@ -207,6 +207,27 @@ class ConvSplitInput(nn.Module):
         return y
 
 
+def phase_input_ok(unet, h: int, w: int, *, force: bool = False) -> bool:
+    """Whether ``unet`` will take the packed phase-planar path for an
+    (h, w) input — shared by UNet.__call__ and pipeline callers that
+    pre-pack the input (ops/prefilter_phase.py)."""
+    n_lv = len(unet.features)
+    P0 = 1 << n_lv
+    return bool(
+        unet.conv_impl == "pallas"
+        and unet.fold_bn
+        and unet.dtype == jnp.bfloat16
+        and h % (4 << n_lv) == 0
+        and w % P0 == 0
+        and w // P0 <= 128
+        and unet.features[0] % 8 == 0
+        and (
+            force
+            or (jax.default_backend() == "tpu" and h * w >= (1 << 20))
+        )
+    )
+
+
 class ConvParams(nn.Module):
     """Bare parameter holder matching ``nn.Conv``'s tree ("kernel"/"bias")
     for paths that hand the arrays to a Pallas kernel directly — checkpoint
@@ -368,8 +389,24 @@ class UNet(nn.Module):
     up_impl: str = "convt"
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: Optional[jax.Array],
+        train: bool = False,
+        x_phase: Optional[Tuple[jax.Array, int, int, int]] = None,
+    ) -> jax.Array:
         import os
+
+        if x_phase is not None:
+            # pre-packed phase-planar input ((H+2)*8, P0*128) bf16 from
+            # ops/prefilter_phase.py — skips the NHWC->phase conversion
+            xp, h0, w0, c0 = x_phase
+            n_lv = len(self.features)
+            force = os.environ.get("RTNR_SPLIT_FORCE") == "1"
+            interp = force and jax.default_backend() != "tpu"
+            assert phase_input_ok(self, h0, w0, force=force)
+            return self._phase_forward(None, 1 << n_lv, interp,
+                                       packed=(xp, h0, w0, c0))
 
         x = x.astype(self.dtype)
         # Packed phase-planar U-Net (ops/conv_phase.py): EVERY level's conv
@@ -383,20 +420,9 @@ class UNet(nn.Module):
         n_lv = len(self.features)
         P0 = 1 << n_lv
         use_phase = (
-            self.conv_impl == "pallas"
-            and self.fold_bn
-            and not train
-            and self.dtype == jnp.bfloat16
+            not train
             and x.shape[0] == 1
-            and x.shape[1] % (4 << n_lv) == 0
-            and x.shape[2] % P0 == 0
-            and x.shape[2] // P0 <= 128
-            and self.features[0] % 8 == 0
-            and (
-                force
-                or (jax.default_backend() == "tpu"
-                    and x.shape[1] * x.shape[2] >= (1 << 20))
-            )
+            and phase_input_ok(self, x.shape[1], x.shape[2], force=force)
         )
         interp = force and jax.default_backend() != "tpu"
         if use_phase:
@@ -448,7 +474,13 @@ class UNet(nn.Module):
             self.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="final_conv"
         )(x)
 
-    def _phase_forward(self, x: jax.Array, P0: int, interp: bool) -> jax.Array:
+    def _phase_forward(
+        self,
+        x: Optional[jax.Array],
+        P0: int,
+        interp: bool,
+        packed: Optional[Tuple[jax.Array, int, int, int]] = None,
+    ) -> jax.Array:
         """Whole-net packed phase-planar forward (inference, folded BN).
         Parameter tree is identical to the XLA path's (ConvParams mirrors
         nn.Conv/nn.ConvTranspose), so checkpoints interchange."""
@@ -456,8 +488,11 @@ class UNet(nn.Module):
             convt2x2_phase, from_phase, to_phase,
         )
 
-        h0, w0, c0 = x.shape[1], x.shape[2], x.shape[3]
-        xp = to_phase(x, P0)
+        if packed is not None:
+            xp, h0, w0, c0 = packed
+        else:
+            h0, w0, c0 = x.shape[1], x.shape[2], x.shape[3]
+            xp = to_phase(x, P0)
         P, hs, ws, cc = P0, h0, w0, c0
         skips = []
         for i, f in enumerate(self.features):

@@ -140,13 +140,47 @@ def render_full(
     255 with saturation (``rgb``), matching the reference's
     ``convertTo(CV_8UC3, 255.0)`` (project_cloud.cu:480).
     """
-    mid = render_filtered(
-        points, colors, valid, cam_proj, width=width, height=height,
-        depth_band=depth_band, levels=levels, filter_strength=filter_strength,
-        gradient_filter=gradient_filter,
-    )
-    x = mid["unet_input"][None]  # (1, H', W', 5)
-    y = unet.apply(unet_variables, x)[0].astype(jnp.float32)  # (H', W', 3)
+    import os
+
+    from rtnr_tpu.models.unet import phase_input_ok
+
+    ph, pw = pyramid_pad_shape(height, width, levels)
+    force = os.environ.get("RTNR_SPLIT_FORCE") == "1"
+    # the packed layout's phase count (2^levels) must equal the U-Net's
+    # (2^len(features)) for the zero-conversion handoff
+    if levels == len(unet.features) and phase_input_ok(unet, ph, pw, force=force):
+        # fused phase path: the prefilter runs in the polyphase layout and
+        # its packed 5-channel output feeds the U-Net with no conversion
+        from rtnr_tpu.ops.prefilter_phase import depth_prefilter_phase
+
+        rgb, depth = rasterize(
+            points, colors, cam_proj, width=width, height=height,
+            valid=valid, depth_band=depth_band,
+        )
+        dpad, cpad = pad_to_pyramid(depth, rgb, levels)
+        pf = depth_prefilter_phase(
+            dpad, cpad, P=1 << levels, levels=levels,
+            filter_strength=filter_strength, gradient_filter=gradient_filter,
+        )
+        crop = lambda a: a[:height, :width]
+        mid = {
+            "depth": crop(pf["filtered_depth"]),
+            "raw_rgb": rgb,
+            "raw_depth": depth,
+            "mask": crop(pf["mask"]),
+        }
+        y = unet.apply(
+            unet_variables, None,
+            x_phase=(pf["unet_input_phase"], ph, pw, 5),
+        )[0].astype(jnp.float32)
+    else:
+        mid = render_filtered(
+            points, colors, valid, cam_proj, width=width, height=height,
+            depth_band=depth_band, levels=levels,
+            filter_strength=filter_strength, gradient_filter=gradient_filter,
+        )
+        x = mid["unet_input"][None]  # (1, H', W', 5)
+        y = unet.apply(unet_variables, x)[0].astype(jnp.float32)  # (H', W', 3)
     y = y[:height, :width]
     rgb8 = jnp.clip(jnp.rint(y * 255.0), 0, 255).astype(jnp.uint8)
     return {

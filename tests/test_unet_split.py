@@ -35,3 +35,45 @@ def test_unet_split_parity_small(monkeypatch):
     np.testing.assert_allclose(ya, yb, rtol=5e-2, atol=5e-2)
     # shared param tree: both paths must load the same checkpoint
     assert np.abs(ya - yb).mean() < 5e-3
+
+
+def test_render_full_phase_pipeline_parity(monkeypatch):
+    """render_full's fused phase path (phase prefilter -> packed U-Net
+    input) matches the NHWC path end-to-end at a small gated shape."""
+    monkeypatch.setenv("RTNR_SPLIT_FORCE", "1")
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from rtnr_tpu.camera import Camera
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+    from rtnr_tpu.models.unet import UNet, init_unet
+    from rtnr_tpu.pipeline import render_full
+    from rtnr_tpu.scene import Scene
+
+    features = (16, 32)
+    W, H = 32, 16
+    scene = Scene.synthetic(5000, seed=0, extent=3.0)
+    pts, cols, valid = scene.device_arrays()
+    cam = Camera.from_params(20.0, 20.0, W / 2, H / 2, W, H)
+    E = np.eye(4)
+    E[2, 3] = 6.0
+    M = jnp.asarray(cam.cam_proj(E), jnp.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, raw = init_unet(jax.random.PRNGKey(0), H, W, features=features)
+    variables = fold_batchnorm(raw)
+
+    def run(impl):
+        unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True,
+                    skip_concat="split", conv_impl=impl)
+        return render_full(
+            jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), M,
+            unet, variables, width=W, height=H, levels=len(features),
+        )
+
+    a = run("xla")      # NHWC prefilter + XLA U-Net
+    b = run("pallas")   # phase prefilter + packed-input phase U-Net
+    np.testing.assert_array_equal(np.asarray(a["mask"]), np.asarray(b["mask"]))
+    np.testing.assert_array_equal(np.asarray(a["depth"]), np.asarray(b["depth"]))
+    np.testing.assert_allclose(
+        np.asarray(a["rgb_f"], np.float32), np.asarray(b["rgb_f"], np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
