@@ -218,7 +218,8 @@ def depth_prefilter_phase(
 ) -> Dict[str, jax.Array]:
     """Full coarse-to-fine prefilter + packing in the phase layout.
 
-    depth: (H, W) f32; rgb: (H, W, 3) uint8; P: full-res phase count (the
+    depth: (H, W) f32; rgb: (H, W, 3) uint8 OR (H, W) i32 packed
+    r|g<<8|b<<16 (``rasterize_packed``); P: full-res phase count (the
     U-Net's 2^levels). Returns the packed phase U-Net input
     ``unet_input_phase`` (((H+2)*8, P*WS) bf16, channels RGB/mask/depth
     then 3 zero pads) plus the same aux buffers as ops/prefilter.py
@@ -254,11 +255,14 @@ def depth_prefilter_phase(
     dmin, dmax = depth_min_max(depth)
 
     keep = mask_fine & jnp.asarray(valid0)
-    packed = (
-        rgb[:, :, 0].astype(jnp.int32)
-        | (rgb[:, :, 1].astype(jnp.int32) << 8)
-        | (rgb[:, :, 2].astype(jnp.int32) << 16)
-    )
+    if rgb.ndim == 2:  # already packed i32
+        packed = rgb
+    else:
+        packed = (
+            rgb[:, :, 0].astype(jnp.int32)
+            | (rgb[:, :, 1].astype(jnp.int32) << 8)
+            | (rgb[:, :, 2].astype(jnp.int32) << 16)
+        )
     pp = img_to_phase(packed, P)
     chans = [
         jnp.where(keep, ((pp >> s) & 255).astype(jnp.float32) / 255.0, 0.0)
@@ -284,11 +288,16 @@ def depth_prefilter_phase(
         "depth_max": dmax,
     }
     # aux NHWC views (exact ops/prefilter.py contract; DCE'd when unused)
+    from rtnr_tpu.ops.raster import unpack_rgb8
+
+    rgb_u8 = rgb if rgb.ndim == 3 else unpack_rgb8(rgb)
     keep_img = phase_to_img(keep, w)
     out["mask"] = keep_img
     out["filtered_depth"] = jnp.where(keep_img, depth, jnp.float32(-1.0))
-    out["filtered_rgb"] = jnp.where(keep_img[:, :, None], rgb, jnp.uint8(0))
-    ch_rgb = jnp.where(keep_img[:, :, None], rgb.astype(jnp.float32) / 255.0, 0.0)
+    out["filtered_rgb"] = jnp.where(keep_img[:, :, None], rgb_u8, jnp.uint8(0))
+    ch_rgb = jnp.where(
+        keep_img[:, :, None], rgb_u8.astype(jnp.float32) / 255.0, 0.0
+    )
     ch_depth = jnp.where(keep_img, (depth - dmin) / (dmax - dmin), -1.0)
     out["unet_input"] = jnp.concatenate(
         [ch_rgb, keep_img[:, :, None].astype(jnp.float32),

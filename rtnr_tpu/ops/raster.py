@@ -434,6 +434,37 @@ def rasterize(
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "depth_band"))
+def rasterize_packed(
+    points: jax.Array,
+    colors: jax.Array,
+    cam_proj: jax.Array,
+    *,
+    width: int,
+    height: int,
+    valid: Optional[jax.Array] = None,
+    depth_band: float = 0.02,
+) -> Tuple[jax.Array, jax.Array]:
+    """As ``rasterize`` but returns rgb packed r|g<<8|b<<16 as (H, W) i32 —
+    the phase prefilter consumes the packed form directly, skipping an
+    unpack/repack round trip over the frame."""
+    sum_img, cnt_img, depth_img = _raster_sums(
+        points, colors, cam_proj, width=width, height=height, valid=valid,
+        depth_band=depth_band,
+    )
+    cnt = jnp.maximum(cnt_img, 1)[:, None]
+    rgb = jnp.where(cnt_img[:, None] > 0, sum_img // cnt, 0)
+    packed = rgb[:, 0] | (rgb[:, 1] << 8) | (rgb[:, 2] << 16)
+    return packed.reshape(height, width), depth_img.reshape(height, width)
+
+
+def unpack_rgb8(packed: jax.Array) -> jax.Array:
+    """(..., ) i32 r|g<<8|b<<16 -> (..., 3) uint8."""
+    return jnp.stack(
+        [((packed >> s) & 255).astype(jnp.uint8) for s in (0, 8, 16)], axis=-1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "depth_band"))
 def rasterize_scatter(
     points: jax.Array,
     colors: jax.Array,

@@ -152,20 +152,27 @@ def render_full(
         # fused phase path: the prefilter runs in the polyphase layout and
         # its packed 5-channel output feeds the U-Net with no conversion
         from rtnr_tpu.ops.prefilter_phase import depth_prefilter_phase
+        from rtnr_tpu.ops.raster import rasterize_packed, unpack_rgb8
 
-        rgb, depth = rasterize(
+        packed, depth = rasterize_packed(
             points, colors, cam_proj, width=width, height=height,
             valid=valid, depth_band=depth_band,
         )
-        dpad, cpad = pad_to_pyramid(depth, rgb, levels)
+        ph_, pw_ = pyramid_pad_shape(height, width, levels)
+        dpad = depth
+        ppad = packed
+        if (ph_, pw_) != (height, width):
+            dpad = jnp.pad(depth, ((0, ph_ - height), (0, pw_ - width)),
+                           constant_values=DEPTH_EMPTY)
+            ppad = jnp.pad(packed, ((0, ph_ - height), (0, pw_ - width)))
         pf = depth_prefilter_phase(
-            dpad, cpad, P=1 << levels, levels=levels,
+            dpad, ppad, P=1 << levels, levels=levels,
             filter_strength=filter_strength, gradient_filter=gradient_filter,
         )
         crop = lambda a: a[:height, :width]
         mid = {
             "depth": crop(pf["filtered_depth"]),
-            "raw_rgb": rgb,
+            "raw_rgb": unpack_rgb8(packed),
             "raw_depth": depth,
             "mask": crop(pf["mask"]),
         }
