@@ -169,17 +169,6 @@ def _conv_phase_kernel(
 
     slot = jax.lax.rem(gg, 2)
 
-    pieces = []
-    for i in range(n_in):
-        xi = xs_v[i][slot]
-        ci = C[i]
-        pieces.append(
-            jnp.concatenate(
-                [xi[t * ci : (t + 3) * ci, :] for t in range(TR)], axis=1
-            )
-        )
-    P_mat = pieces[0] if n_in == 1 else jnp.concatenate(pieces, axis=0)
-
     def mm(lhs, rhs):
         return jax.lax.dot_general(
             lhs, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -187,54 +176,72 @@ def _conv_phase_kernel(
         )
 
     sumC = sum(C)
-    A = mm(w_v[:, :][:, 0 : 3 * sumC], P_mat)  # (3*FB, M) f32
-    A0, A1, A2 = A[0:FB, :], A[FB : 2 * FB, :], A[2 * FB :, :]
+    w_lhs = w_v[:, :][:, 0 : 3 * sumC]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (FB, M), 1)
-    lb = lane & (LB - 1)  # lane within row-block (LB is a power of two)
-    p = lb >> 7
-    u = lb & (WS - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (FB, LB), 1)
+    p = lane >> 7
+    u = lane & (WS - 1)
     zero = jnp.float32(0.0)
-
-    # left tap x-1: phase p-1 same u, or (phase P-1, u-1) at p==0
-    left = pltpu.roll(A0, WS, axis=1)
-    if P > 1:
-        lwrap = pltpu.roll(A0, (M + 1 - (P - 1) * WS) % M, axis=1)
-        left = jnp.where(p > 0, left, lwrap)
-    else:
-        left = pltpu.roll(A0, 1, axis=1)
     not_x0 = jnp.logical_not((p == 0) & (u == 0))
-    y = A1 + jnp.where(not_x0, left, zero)
-
-    # right tap x+1: phase p+1 same u, or (phase 0, u+1) at p==P-1
-    right = pltpu.roll(A2, M - WS, axis=1)
-    if P > 1:
-        rwrap = pltpu.roll(A2, ((P - 1) * WS - 1) % M, axis=1)
-        right = jnp.where(p < P - 1, right, rwrap)
-    else:
-        right = pltpu.roll(A2, M - 1, axis=1)
     not_xl = jnp.logical_not((p == P - 1) & (u == WU - 1))
-    y = y + jnp.where(not_xl, right, zero)
-
-    y = y + b_v[pl.ds(fb * FB, FB), 0:1].astype(jnp.float32)
-    if relu:
-        y = jnp.maximum(y, zero)
-    y = jnp.where(u < WU, y, zero)
-
-    if head:  # n_fb == 1 (asserted by the wrapper)
+    if head:
+        u2 = jax.lax.broadcasted_iota(jnp.int32, (F2, LB), 1) & (WS - 1)
         h2 = h_v[:, :][:, 0:F]
         hb = b_v[F : F + F2, 0:1].astype(jnp.float32)
-        u2 = (
-            jax.lax.broadcasted_iota(jnp.int32, (F2, M), 1) & (WS - 1)
-        )
-        y = mm(h2, y.astype(jnp.bfloat16)) + hb
-        y = jnp.where(u2 < WU, y, zero)
+    bias = b_v[pl.ds(fb * FB, FB), 0:1].astype(jnp.float32)
 
-    y_b = y.astype(jnp.bfloat16)
-    y_v[:, :] = y_b
-
+    # one matmul per image row directly on the fetched window — rows
+    # [t*C, (t+3)*C) of the block ARE the dy-stacked taps, so no P matrix
+    # is ever materialized (saves a (3C, TR*LB) VPU copy per step)
+    y_ts = []
     dmas = []
     for t in range(TR):
+        if n_in == 1:
+            rhs = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
+        else:
+            rhs = jnp.concatenate(
+                [xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
+                 for i in range(n_in)],
+                axis=0,
+            )
+        A = mm(w_lhs, rhs)  # (3*FB, LB) f32
+        A0, A1, A2 = A[0:FB, :], A[FB : 2 * FB, :], A[2 * FB :, :]
+
+        # left tap x-1: phase p-1 same u, or (phase P-1, u-1) at p==0
+        if P > 1:
+            left = jnp.where(
+                p > 0,
+                pltpu.roll(A0, WS, axis=1),
+                pltpu.roll(A0, (LB + 1 - (P - 1) * WS) % LB, axis=1),
+            )
+        else:
+            left = pltpu.roll(A0, 1, axis=1)
+        y = A1 + jnp.where(not_x0, left, zero)
+
+        # right tap x+1: phase p+1 same u, or (phase 0, u+1) at p==P-1
+        if P > 1:
+            right = jnp.where(
+                p < P - 1,
+                pltpu.roll(A2, LB - WS, axis=1),
+                pltpu.roll(A2, ((P - 1) * WS - 1) % LB, axis=1),
+            )
+        else:
+            right = pltpu.roll(A2, LB - 1, axis=1)
+        y = y + jnp.where(not_xl, right, zero)
+
+        y = y + bias
+        if relu:
+            y = jnp.maximum(y, zero)
+        y = jnp.where(u < WU, y, zero)
+
+        if head:  # n_fb == 1 (asserted by the wrapper)
+            y = mm(h2, y.astype(jnp.bfloat16)) + hb
+            y = jnp.where(u2 < WU, y, zero)
+
+        y_b = y.astype(jnp.bfloat16)
+        y_v[:, pl.ds(t * LB, LB)] = y_b
+        if pool:
+            y_ts.append(y_b)
         dma = pltpu.make_async_copy(
             y_v.at[:, pl.ds(t * LB, LB)],
             o_hbm.at[pl.ds((1 + g * TR + t) * FO + (0 if head else fb * FB),
@@ -247,17 +254,12 @@ def _conv_phase_kernel(
     if pool:
         # out phase q = max over phases 2q, 2q+1 and image-row pair
         for s in range(TR // 2):
-            cols = []
-            for q in range(P // 2):
-                vals = []
-                for t in (2 * s, 2 * s + 1):
-                    for pp in (2 * q, 2 * q + 1):
-                        vals.append(
-                            y_b[:, t * LB + pp * WS : t * LB + (pp + 1) * WS]
-                        )
-                m = jnp.maximum(jnp.maximum(vals[0], vals[1]),
-                                jnp.maximum(vals[2], vals[3]))
-                cols.append(m)
+            pm = jnp.maximum(y_ts[2 * s], y_ts[2 * s + 1])
+            cols = [
+                jnp.maximum(pm[:, (2 * q) * WS : (2 * q + 1) * WS],
+                            pm[:, (2 * q + 1) * WS : (2 * q + 2) * WS])
+                for q in range(P // 2)
+            ]
             p_v[:, pl.ds(s * (LB // 2), LB // 2)] = jnp.concatenate(cols, axis=1)
         for s in range(TR // 2):
             dma = pltpu.make_async_copy(
@@ -322,22 +324,19 @@ def _pick_tr_fb(
     of the 16 MB scoped limit), per the kernel's scratch + live values."""
     budget = 13_000_000
     sumC = sum(Cs)
+    lb = P * WS
     for tr in (8, 4, 2):
         if h % tr or (pool and tr % 2):
             continue
-        m = tr * P * WS
-        base = (
-            sum(2 * (tr + 2) * c * P * WS * 2 for c in Cs)  # fetch, 2 slots
-            + 3 * sumC * m * 2  # P matrix bf16
-        )
+        base = sum(2 * (tr + 2) * c * lb * 2 for c in Cs)  # fetch, 2 slots
         fbs = [F] if head else [f for f in (F, F // 2, F // 4, F // 8)
                                 if f >= 8 and f % 8 == 0]
         for fbl in fbs:
             est = (
                 base
                 + 3 * fbl * 3 * sumC * 2  # weight block
-                + 3 * fbl * m * 4  # A f32
-                + fbl * m * 2 * (2 if pool else 1)  # y (+ pool staging)
+                + 3 * fbl * lb * 4  # per-row A f32 (dies each row)
+                + fbl * tr * lb * 2 * (2 if pool else 1)  # y (+ pool)
             )
             if est <= budget:
                 return tr, fbl
@@ -541,38 +540,35 @@ def _convt_phase_kernel(
         wait_fetch(1)
 
     slot = jax.lax.rem(g, 2)
-    P_mat = jnp.concatenate(
-        [x_v[slot][t * C : (t + 1) * C, :] for t in range(TR)], axis=1
-    )  # (C, M)
-    A = jax.lax.dot_general(
-        w_v[:, :], P_mat, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (4F, M)
     bias = b_v[:, 0:1].astype(jnp.float32)
-    u = jax.lax.broadcasted_iota(jnp.int32, (F, M), 1) & (WS - 1)
-    Ay = []
-    for j in range(4):
-        yj = A[j * F : (j + 1) * F, :] + bias
-        yj = jnp.where(u < WU, yj, jnp.float32(0.0))
-        Ay.append(yj.astype(jnp.bfloat16))
+    u = jax.lax.broadcasted_iota(jnp.int32, (F, LB), 1) & (WS - 1)
 
-    # out image row 2(g*TR+t)+dy, phase 2p+dx <- Ay[2*dy+dx] slot (t, p);
-    # each dy half holds TR out-rows of LBO = 2*LB lanes (2M per half)
-    for dy in range(2):
-        row_cols = []
-        for t in range(TR):
-            for p in range(P):
-                for dx in range(2):
-                    row_cols.append(
-                        Ay[2 * dy + dx][:, t * LB + p * WS : t * LB + (p + 1) * WS]
-                    )
-        y_v[:, pl.ds(dy * 2 * M, 2 * M)] = jnp.concatenate(row_cols, axis=1)
-
+    # one matmul per input row on the fetched window directly (no staging
+    # copy); out image row 2(g*TR+t)+dy, phase 2p+dx <- Ay[2*dy+dx] slot p
     dmas = []
     for t in range(TR):
+        A = jax.lax.dot_general(
+            w_v[:, :], x_v[slot][t * C : (t + 1) * C, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (4F, LB)
+        Ay = []
+        for j in range(4):
+            yj = A[j * F : (j + 1) * F, :] + bias
+            yj = jnp.where(u < WU, yj, jnp.float32(0.0))
+            Ay.append(yj.astype(jnp.bfloat16))
         for dy in range(2):
+            row = jnp.concatenate(
+                [
+                    Ay[2 * dy + dx][:, p * WS : (p + 1) * WS]
+                    for p in range(P)
+                    for dx in range(2)
+                ],
+                axis=1,
+            )  # (F, LBO)
+            y_v[:, pl.ds((2 * t + dy) * LBO, LBO)] = row
             dma = pltpu.make_async_copy(
-                y_v.at[:, pl.ds(dy * 2 * M + t * LBO, LBO)],
+                y_v.at[:, pl.ds((2 * t + dy) * LBO, LBO)],
                 o_hbm.at[pl.ds((1 + (g * TR + t) * 2 + dy) * F, F), :],
                 out_sem,
             )

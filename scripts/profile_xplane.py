@@ -52,6 +52,35 @@ def build_stage(which):
     from rtnr_tpu.ops.raster import rasterize
     from rtnr_tpu.scene import Scene
 
+    if which == "full":
+        from rtnr_tpu.models.fold_bn import fold_batchnorm
+        from rtnr_tpu.models.unet import UNet, init_unet
+        from rtnr_tpu.pipeline import render_full
+
+        features = (64, 128, 256, 512)
+        scene = Scene.synthetic(N_POINTS, seed=0, extent=10.0)
+        pts, cols, valid = scene.sorted_by_block().device_arrays(1024)
+        cam = Camera.from_params(1100.0, 1100.0, WIDTH / 2, HEIGHT / 2,
+                                 WIDTH, HEIGHT)
+        E = np.eye(4)
+        E[2, 3] = 12.0
+        M0 = jnp.asarray(cam.cam_proj(E), jnp.float32)
+        unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True)
+        with jax.default_device(jax.devices("cpu")[0]):
+            _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
+        variables = jax.device_put(fold_batchnorm(raw))
+        points, colors = jnp.asarray(pts), jnp.asarray(cols)
+        validd = jnp.asarray(valid)
+
+        @jax.jit
+        def run(d):
+            out = render_full(points, colors, validd, M0.at[0, 3].add(d),
+                              unet, variables, width=WIDTH, height=HEIGHT)
+            return (d + out["rgb_f"][0, 0, 0] * jnp.float32(1e-6)
+                    + out["raw_depth"][0, 0] * jnp.float32(1e-20))
+
+        return run, jnp.float32(0.0)
+
     scene = Scene.synthetic(N_POINTS, seed=0, extent=10.0)
     pts, cols, valid = scene.sorted_by_block().device_arrays(1024)
     points, colors = jnp.asarray(pts), jnp.asarray(cols)
