@@ -97,7 +97,8 @@ def _conv_phase_kernel(
     p_v = scratch[n_in + nw + 2] if pool else None
     z_v = scratch[n_in + nw + 2 + int(pool)]
     in_sem = scratch[n_in + nw + 3 + int(pool)]
-    out_sem = scratch[n_in + nw + 4 + int(pool)]
+    o_sem = scratch[n_in + nw + 4 + int(pool)]
+    wb_sem = scratch[n_in + nw + 5 + int(pool)]
 
     # grid (F blocks, row steps): weights for output channels
     # [fb*FB, (fb+1)*FB) stay VMEM-resident across a full row sweep (deep
@@ -132,10 +133,10 @@ def _conv_phase_kernel(
     def _():
         start_fetch(0, 0)
         if head:
-            cp = pltpu.make_async_copy(h_hbm, h_v, out_sem)
+            cp = pltpu.make_async_copy(h_hbm, h_v, wb_sem)
             cp.start()
             cp.wait()
-        cp = pltpu.make_async_copy(b_hbm, b_v, out_sem)
+        cp = pltpu.make_async_copy(b_hbm, b_v, wb_sem)
         cp.start()
         cp.wait()
         z_v[:, :] = jnp.zeros((FB, LB), jnp.bfloat16)
@@ -143,7 +144,7 @@ def _conv_phase_kernel(
     @pl.when(g == 0)
     def _():
         cp = pltpu.make_async_copy(
-            w_hbm.at[pl.ds(fb * 3 * FB, 3 * FB), :], w_v, out_sem
+            w_hbm.at[pl.ds(fb * 3 * FB, 3 * FB), :], w_v, wb_sem
         )
         cp.start()
         cp.wait()
@@ -190,11 +191,33 @@ def _conv_phase_kernel(
         hb = b_v[F : F + F2, 0:1].astype(jnp.float32)
     bias = b_v[pl.ds(fb * FB, FB), 0:1].astype(jnp.float32)
 
+    # output DMAs are double-buffered: step gg's stores drain while step
+    # gg+1 computes (waited before gg+2 reuses the staging slot)
+    OUTR = FO if head else FB
+
+    def wait_out(s):
+        for t in range(TR):
+            pltpu.make_async_copy(
+                y_v.at[s, :, pl.ds(t * LB, LB)],
+                o_hbm.at[pl.ds(0, OUTR), :],
+                o_sem.at[s],
+            ).wait()
+        if pool:
+            for sp in range(TR // 2):
+                pltpu.make_async_copy(
+                    p_v.at[s, :, pl.ds(sp * (LB // 2), LB // 2)],
+                    pool_hbm.at[pl.ds(0, FB), :],
+                    o_sem.at[s],
+                ).wait()
+
+    @pl.when(gg >= 2)
+    def _():
+        wait_out(slot)
+
     # one matmul per image row directly on the fetched window — rows
     # [t*C, (t+3)*C) of the block ARE the dy-stacked taps, so no P matrix
     # is ever materialized (saves a (3C, TR*LB) VPU copy per step)
     y_ts = []
-    dmas = []
     for t in range(TR):
         if n_in == 1:
             rhs = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
@@ -239,17 +262,15 @@ def _conv_phase_kernel(
             y = jnp.where(u2 < WU, y, zero)
 
         y_b = y.astype(jnp.bfloat16)
-        y_v[:, pl.ds(t * LB, LB)] = y_b
+        y_v[slot, :, pl.ds(t * LB, LB)] = y_b
         if pool:
             y_ts.append(y_b)
-        dma = pltpu.make_async_copy(
-            y_v.at[:, pl.ds(t * LB, LB)],
+        pltpu.make_async_copy(
+            y_v.at[slot, :, pl.ds(t * LB, LB)],
             o_hbm.at[pl.ds((1 + g * TR + t) * FO + (0 if head else fb * FB),
-                           FB if not head else FO), :],
-            out_sem,
-        )
-        dma.start()
-        dmas.append(dma)
+                           OUTR), :],
+            o_sem.at[slot],
+        ).start()
 
     if pool:
         # out phase q = max over phases 2q, 2q+1 and image-row pair
@@ -260,20 +281,28 @@ def _conv_phase_kernel(
                             pm[:, (2 * q + 1) * WS : (2 * q + 2) * WS])
                 for q in range(P // 2)
             ]
-            p_v[:, pl.ds(s * (LB // 2), LB // 2)] = jnp.concatenate(cols, axis=1)
+            p_v[slot, :, pl.ds(s * (LB // 2), LB // 2)] = jnp.concatenate(
+                cols, axis=1
+            )
         for s in range(TR // 2):
-            dma = pltpu.make_async_copy(
-                p_v.at[:, pl.ds(s * (LB // 2), LB // 2)],
+            pltpu.make_async_copy(
+                p_v.at[slot, :, pl.ds(s * (LB // 2), LB // 2)],
                 pool_hbm.at[
                     pl.ds((1 + g * (TR // 2) + s) * F + fb * FB, FB), :
                 ],
-                out_sem,
-            )
-            dma.start()
-            dmas.append(dma)
+                o_sem.at[slot],
+            ).start()
 
-    for dma in dmas:
-        dma.wait()
+    # final step drains its own stores and (if any) the previous step's
+    total = n_fb * steps
+
+    @pl.when(gg == total - 1)
+    def _():
+        wait_out(slot)
+
+    @pl.when((gg == total - 1) & (total >= 2))
+    def _():
+        wait_out(1 - slot)
 
     # zero pad blocks (each F block writes its channel slice)
     @pl.when(g == 0)
@@ -281,7 +310,7 @@ def _conv_phase_kernel(
         d1 = pltpu.make_async_copy(
             z_v.at[pl.ds(0, FB if not head else FO), pl.ds(0, LB)],
             o_hbm.at[pl.ds(0 if head else fb * FB, FB if not head else FO), :],
-            out_sem,
+            wb_sem,
         )
         d1.start()
         d1.wait()
@@ -289,7 +318,7 @@ def _conv_phase_kernel(
             d2 = pltpu.make_async_copy(
                 z_v.at[pl.ds(0, FB), pl.ds(0, LB // 2)],
                 pool_hbm.at[pl.ds(fb * FB, FB), :],
-                out_sem,
+                wb_sem,
             )
             d2.start()
             d2.wait()
@@ -303,7 +332,7 @@ def _conv_phase_kernel(
                       FB if not head else FO),
                 :,
             ],
-            out_sem,
+            wb_sem,
         )
         d1.start()
         d1.wait()
@@ -311,7 +340,7 @@ def _conv_phase_kernel(
             d2 = pltpu.make_async_copy(
                 z_v.at[pl.ds(0, FB), pl.ds(0, LB // 2)],
                 pool_hbm.at[pl.ds((steps * (TR // 2) + 1) * F + fb * FB, FB), :],
-                out_sem,
+                wb_sem,
             )
             d2.start()
             d2.wait()
@@ -322,7 +351,10 @@ def _pick_tr_fb(
 ) -> Tuple[int, int]:
     """Largest (rows-per-step, F-block) whose VMEM footprint fits (~13 MB
     of the 16 MB scoped limit), per the kernel's scratch + live values."""
-    budget = 13_000_000
+    # headroom for Mosaic's own stack temporaries (rolled/selected copies
+    # of the f32 accumulator etc.) — 13 MB overflowed by 0.4 MB at the
+    # bottleneck shapes
+    budget = 11_000_000
     sumC = sum(Cs)
     lb = P * WS
     for tr in (8, 4, 2):
@@ -331,12 +363,16 @@ def _pick_tr_fb(
         base = sum(2 * (tr + 2) * c * lb * 2 for c in Cs)  # fetch, 2 slots
         fbs = [F] if head else [f for f in (F, F // 2, F // 4, F // 8)
                                 if f >= 8 and f % 8 == 0]
+        k128 = _round_up(3 * sumC, 128)
         for fbl in fbs:
             est = (
                 base
-                + 3 * fbl * 3 * sumC * 2  # weight block
+                # weight block counts twice: the VMEM scratch AND the value
+                # the matmul loads from it (measured 16.4M scoped at the
+                # bottleneck when counted once)
+                + 2 * 3 * fbl * k128 * 2
                 + 3 * fbl * lb * 4  # per-row A f32 (dies each row)
-                + fbl * tr * lb * 2 * (2 if pool else 1)  # y (+ pool)
+                + 2 * fbl * tr * lb * 2 * (2 if pool else 1)  # y/pool x2
             )
             if est <= budget:
                 return tr, fbl
@@ -439,14 +475,15 @@ def conv3x3_phase(
         scratch += [pltpu.VMEM((F2, _round_up(F, 128)), jnp.bfloat16)]
     scratch += [
         pltpu.VMEM((F + (F2 if head else 0), 128), jnp.bfloat16),
-        pltpu.VMEM((F2 if head else FB, TR * LB), jnp.bfloat16),  # y
+        pltpu.VMEM((2, F2 if head else FB, TR * LB), jnp.bfloat16),  # y x2
     ]
     if pool:
-        scratch += [pltpu.VMEM((FB, (TR // 2) * (LB // 2)), jnp.bfloat16)]
+        scratch += [pltpu.VMEM((2, FB, (TR // 2) * (LB // 2)), jnp.bfloat16)]
     scratch += [
         pltpu.VMEM((FB, LB), jnp.bfloat16),  # zero pad block
         pltpu.SemaphoreType.DMA((2, n_in)),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2,)),  # double-buffered output stores
+        pltpu.SemaphoreType.DMA(()),  # weights/bias/pad blocks
     ]
 
     outs = pl.pallas_call(
@@ -486,7 +523,8 @@ def _convt_phase_kernel(
     y_v,
     z_v,
     in_sem,
-    out_sem,
+    o_sem,
+    wb_sem,
     *,
     C: int,
     F: int,
@@ -515,10 +553,10 @@ def _convt_phase_kernel(
     @pl.when(g == 0)
     def _():
         start_fetch(0, 0)
-        cp = pltpu.make_async_copy(w_hbm, w_v, out_sem)
+        cp = pltpu.make_async_copy(w_hbm, w_v, wb_sem)
         cp.start()
         cp.wait()
-        cp = pltpu.make_async_copy(b_hbm, b_v, out_sem)
+        cp = pltpu.make_async_copy(b_hbm, b_v, wb_sem)
         cp.start()
         cp.wait()
         z_v[:, :] = jnp.zeros((F, LBO), jnp.bfloat16)
@@ -543,9 +581,21 @@ def _convt_phase_kernel(
     bias = b_v[:, 0:1].astype(jnp.float32)
     u = jax.lax.broadcasted_iota(jnp.int32, (F, LB), 1) & (WS - 1)
 
+    # double-buffered output stores (drained before slot reuse)
+    def wait_out(s):
+        for j in range(2 * TR):
+            pltpu.make_async_copy(
+                y_v.at[s, :, pl.ds(j * LBO, LBO)],
+                o_hbm.at[pl.ds(0, F), :],
+                o_sem.at[s],
+            ).wait()
+
+    @pl.when(g >= 2)
+    def _():
+        wait_out(slot)
+
     # one matmul per input row on the fetched window directly (no staging
     # copy); out image row 2(g*TR+t)+dy, phase 2p+dx <- Ay[2*dy+dx] slot p
-    dmas = []
     for t in range(TR):
         A = jax.lax.dot_general(
             w_v[:, :], x_v[slot][t * C : (t + 1) * C, :],
@@ -566,27 +616,31 @@ def _convt_phase_kernel(
                 ],
                 axis=1,
             )  # (F, LBO)
-            y_v[:, pl.ds((2 * t + dy) * LBO, LBO)] = row
-            dma = pltpu.make_async_copy(
-                y_v.at[:, pl.ds((2 * t + dy) * LBO, LBO)],
+            y_v[slot, :, pl.ds((2 * t + dy) * LBO, LBO)] = row
+            pltpu.make_async_copy(
+                y_v.at[slot, :, pl.ds((2 * t + dy) * LBO, LBO)],
                 o_hbm.at[pl.ds((1 + (g * TR + t) * 2 + dy) * F, F), :],
-                out_sem,
-            )
-            dma.start()
-            dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
+                o_sem.at[slot],
+            ).start()
+
+    @pl.when(g == steps - 1)
+    def _():
+        wait_out(slot)
+
+    @pl.when((g == steps - 1) & (steps >= 2))
+    def _():
+        wait_out(1 - slot)
 
     @pl.when(g == 0)
     def _():
-        dma = pltpu.make_async_copy(z_v, o_hbm.at[pl.ds(0, F), :], out_sem)
+        dma = pltpu.make_async_copy(z_v, o_hbm.at[pl.ds(0, F), :], wb_sem)
         dma.start()
         dma.wait()
 
     @pl.when(g == steps - 1)
     def _():
         dma = pltpu.make_async_copy(
-            z_v, o_hbm.at[pl.ds((2 * steps * TR + 1) * F, F), :], out_sem
+            z_v, o_hbm.at[pl.ds((2 * steps * TR + 1) * F, F), :], wb_sem
         )
         dma.start()
         dma.wait()
@@ -638,8 +692,9 @@ def convt2x2_phase(
             pltpu.VMEM((2, TR * C, P * WS), jnp.bfloat16),
             pltpu.VMEM((4 * F, C), jnp.bfloat16),
             pltpu.VMEM((F, 128), jnp.bfloat16),
-            pltpu.VMEM((F, 4 * TR * P * WS), jnp.bfloat16),
+            pltpu.VMEM((2, F, 4 * TR * P * WS), jnp.bfloat16),
             pltpu.VMEM((F, 2 * P * WS), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
