@@ -55,17 +55,18 @@ def main():
         jax.block_until_ready(run(jnp.float32(0.0)))
         return (time.perf_counter() - t0) / REPS * 1e3
 
-    base = dict(part_size=16384, sub_chunk=1024, expand_part=16384, expand_sub=512)
+    base = dict(part_size=16384, sub_chunk=2048, expand_part=16384,
+                expand_sub=1024)
     print(f"default {base}: {timed(**base):7.2f} ms", flush=True)
-    for s in (512, 2048):
-        kw = dict(base, sub_chunk=s)
-        print(f"sub_chunk={s:5d}: {timed(**kw):7.2f} ms", flush=True)
-    for pl_, se in ((16384, 1024), (16384, 256), (32768, 512), (8192, 512)):
-        kw = dict(base, expand_part=pl_, expand_sub=se)
-        print(f"expand PL={pl_} SE={se:5d}: {timed(**kw):7.2f} ms", flush=True)
-    for L in (32768, 8192):
-        kw = dict(base, part_size=L, sub_chunk=min(1024, L // 8))
-        print(f"part_size={L}: {timed(**kw):7.2f} ms", flush=True)
+    for kw in (
+        dict(part_size=32768, sub_chunk=2048, expand_part=32768,
+             expand_sub=1024),
+        dict(part_size=32768, sub_chunk=4096, expand_part=32768,
+             expand_sub=2048),
+        dict(part_size=8192, sub_chunk=1024, expand_part=8192,
+             expand_sub=1024),
+    ):
+        print(f"{kw}: {timed(**kw):7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

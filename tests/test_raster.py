@@ -116,3 +116,23 @@ def test_depth_band_semantics():
         px = np.asarray(rgb)[4, 4]
         assert np.asarray(depth)[4, 4] == np.float32(2.0)
         assert px[0] == (150 if expect_avg else 100)
+
+
+def test_rasterize_packed_matches_rasterize():
+    """rasterize_packed's r|g<<8|b<<16 output equals rasterize's uint8
+    channels (and the same depth) — the fused pipeline's raster form."""
+    from rtnr_tpu.ops.raster import rasterize_packed, unpack_rgb8
+
+    pts, cols, M, cam = make_case(n=20_000, seed=11)
+    rgb, depth = rasterize(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(M),
+        width=cam.width, height=cam.height,
+    )
+    packed, depth2 = rasterize_packed(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(M),
+        width=cam.width, height=cam.height,
+    )
+    np.testing.assert_array_equal(np.asarray(depth), np.asarray(depth2))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rgb8(packed)), np.asarray(rgb)
+    )
