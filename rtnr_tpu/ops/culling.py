@@ -142,7 +142,8 @@ def compact_points(
         | (colors[:, 2].astype(jnp.int32) << 16)
     )
     _, x_s, y_s, z_s, c_s = jax.lax.sort(
-        (slots, points[:, 0], points[:, 1], points[:, 2], packed_col), num_keys=1
+        (slots, points[:, 0], points[:, 1], points[:, 2], packed_col), num_keys=1,
+        is_stable=False,
     )
     out_pts = jnp.stack([x_s[:budget], y_s[:budget], z_s[:budget]], axis=1)
     out_cols = jnp.stack(

@@ -145,7 +145,12 @@ def project_and_sort(
         )
         packed = jnp.concatenate([packed, jnp.zeros((hw,), jnp.int32)])
 
-    pix_s, zb_s, packed_s = jax.lax.sort((pix, z_bits, packed), num_keys=2)
+    # unstable: equal (pixel, depth-bits) elements are interchangeable in all
+    # downstream segment math (sums/count/min are commutative; winner picks
+    # by key only) — measured 16.9 -> 12.1 ms at 5M elements on v5e
+    pix_s, zb_s, packed_s = jax.lax.sort(
+        (pix, z_bits, packed), num_keys=2, is_stable=False
+    )
     z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
     rgb_s = jnp.stack(
         [packed_s & 255, (packed_s >> 8) & 255, (packed_s >> 16) & 255], axis=1
@@ -209,7 +214,7 @@ def place_rows_by_pixel(
     """Scatter-free dense-image materialization: sort rows by pixel key and
     take the first H*W — valid when exactly one row per pixel carries a key
     < H*W (carriers guarantee this). Non-winner rows carry key >= H*W."""
-    out = jax.lax.sort((key,) + tuple(rows), num_keys=1)
+    out = jax.lax.sort((key,) + tuple(rows), num_keys=1, is_stable=False)
     return tuple(o[:hw] for o in out[1:])
 
 
@@ -295,13 +300,14 @@ def gather_images_sorted(
     rank = jnp.concatenate(
         [jnp.full((hw,), n, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
     )
-    out = jax.lax.sort((keys1, keys2) + payloads + (rank,), num_keys=2)
+    out = jax.lax.sort((keys1, keys2) + payloads + (rank,), num_keys=2, is_stable=False)
     k1, pays, rk = out[0], out[2:-1], out[-1]
     is_head = k1 != _shift_right(k1, jnp.int32(-1))  # carriers sort first
     vals = segment_broadcast_head(jnp.stack(pays, axis=1), is_head)
     # un-sort: placement by original rank; carriers (rank n) drop off the end
     unsorted = jax.lax.sort(
-        (rk,) + tuple(vals[:, i] for i in range(len(imgs))), num_keys=1
+        (rk,) + tuple(vals[:, i] for i in range(len(imgs))), num_keys=1,
+        is_stable=False,
     )[1:]
     result = []
     for img, lane in zip(imgs, unsorted):

@@ -207,7 +207,8 @@ def _diff_core_fwd_arrays(
     )
 
     pix_s, zb_s, r_s, g_s, b_s, real_s, idx_s = jax.lax.sort(
-        (pix_all, zb_all, r_all, g_all, b_all, real_all, idx_all), num_keys=2
+        (pix_all, zb_all, r_all, g_all, b_all, real_all, idx_all), num_keys=2,
+        is_stable=False,
     )
     m = pix_s.shape[0]
     z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
@@ -296,7 +297,7 @@ def rasterize_diff_sorted(
         # (2) un-permute to original point order (carriers carry idx = n and
         # fall off the slice)
         _, cr, cg, cb, cz = jax.lax.sort(
-            (idx_s, gcol_r, gcol_g, gcol_b, gz_s), num_keys=1
+            (idx_s, gcol_r, gcol_g, gcol_b, gz_s), num_keys=1, is_stable=False
         )
         g_colors = jnp.stack([cr[:n], cg[:n], cb[:n]], axis=1)
         gz = cz[:n]

@@ -1,0 +1,290 @@
+"""Point-sharded differentiable raster: scene/pose gradients across the mesh.
+
+BASELINE.json config 4 / SURVEY.md §2 gradient row: raster custom-VJP
+gradients (point positions, colors, camera pose) must merge over the device
+mesh, not just U-Net parameter grads. The reference has no analog (it is
+inference-only under ``NoGradGuard``, reference project_cloud.cu:473-474,
+and strictly single-GPU — SURVEY.md §2 parallelism checklist).
+
+Design — the forward reuses the proven point-sharding merge structure of
+``parallel/render.py`` (per-shard carrier sort → ``pmin`` z-buffer merge →
+band test against the *global* minimum → ``psum`` of color sums, matching
+the reference's two-pass semantics, render.cu:53-130) in the float/linear
+formulation of ``ops/raster_diff.py``. The backward is supplied by a custom
+VJP whose bwd pass is itself a ``shard_map``:
+
+- color cotangents: each shard gathers the (replicated) gradient images at
+  its sorted pixel ids, masks by its saved in-band flags, un-permutes —
+  grads land on the owning shard with no cross-device traffic.
+- depth cotangents: exactly ONE shard owns each pixel's z-buffer head
+  (lowest mesh rank among depth ties, chosen with a second ``pmin`` in the
+  forward), so the depth gradient flows to exactly one point globally —
+  identical in sum to the single-device VJP.
+- camera cotangent: per-shard partials ``psum`` to the replicated (4,4)
+  gradient — the "gradient all-reduce" of the SURVEY checklist applied to
+  the raster itself.
+
+Pixel assignment and band membership stay straight-through (piecewise
+constant), exactly as documented in ops/raster_diff.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rtnr_tpu.config import DEPTH_EMPTY
+from rtnr_tpu.ops.raster import (
+    _pixel_ids,
+    _shift_left,
+    _shift_right,
+    gather_images_sorted,
+    place_rows_by_pixel,
+    project_points,
+    segment_broadcast_head,
+)
+from rtnr_tpu.ops.raster_diff import DiffRaster
+
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
+    """Per-shard forward. Returns replicated (sums (HW,3), cnt (HW,),
+    depth (HW,)) float32 images + per-shard VJP residuals."""
+    n = pts.shape[0]
+    hw = width * height
+    Mf = M.astype(jnp.float32)
+    u, v, z = project_points(pts, Mf)
+    pix, _ok = _pixel_ids(u, v, z, val, width, height)
+    zs = jnp.where(pix < hw, z, jnp.float32(jnp.inf))
+    zb = jax.lax.bitcast_convert_type(zs, jnp.int32)
+
+    # per-shard carriers: every pixel owns a local segment, so the local
+    # placement sort stays dense and each shard contributes exactly one
+    # (possibly zero) row per pixel to the psum merge
+    carrier_pix = jnp.arange(hw, dtype=jnp.int32)
+    carrier_zb = jax.lax.bitcast_convert_type(
+        jnp.full((hw,), jnp.float32(DEPTH_EMPTY)), jnp.int32
+    )
+    cf = cols.astype(jnp.float32)
+    zeros_hw = jnp.zeros((hw,), jnp.float32)
+    pix_s, zb_s, r_s, g_s, b_s, real_s, idx_s = jax.lax.sort(
+        (
+            jnp.concatenate([pix, carrier_pix]),
+            jnp.concatenate([zb, carrier_zb]),
+            jnp.concatenate([cf[:, 0], zeros_hw]),
+            jnp.concatenate([cf[:, 1], zeros_hw]),
+            jnp.concatenate([cf[:, 2], zeros_hw]),
+            jnp.concatenate([jnp.ones((n,), jnp.float32), zeros_hw]),
+            jnp.concatenate(
+                [jnp.arange(n, dtype=jnp.int32), jnp.full((hw,), n, jnp.int32)]
+            ),
+        ),
+        num_keys=2,
+        is_stable=False,
+    )
+    m = pix_s.shape[0]
+    z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
+    ok_s = pix_s < hw
+    is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
+    is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
+    head_pos = jax.lax.cummax(
+        jnp.where(is_head, jnp.arange(m, dtype=jnp.int32), jnp.int32(0))
+    )
+
+    # local z-buffer → global min (the reference's two-pass structure: the
+    # band is evaluated against the FINAL z-buffer, render.cu:101-106)
+    key_head = jnp.where(is_head & ok_s, pix_s, jnp.int32(hw))
+    (local_min_b,) = place_rows_by_pixel(key_head, (zb_s,), hw)
+    local_min = jax.lax.bitcast_convert_type(local_min_b, jnp.float32)
+    global_min = jax.lax.pmin(local_min, axis)
+
+    # depth-gradient ownership: lowest mesh rank among exact-depth ties, so
+    # exactly one point globally receives each pixel's depth cotangent
+    rank = jax.lax.axis_index(axis).astype(jnp.int32)
+    owner = jax.lax.pmin(jnp.where(local_min == global_min, rank, _I32_MAX), axis)
+    own_px = (owner == rank).astype(jnp.int32)
+
+    min_d_s, own_s = gather_images_sorted((global_min, own_px), pix_s, hw)
+
+    in_band = ok_s & ~(z_s > min_d_s + jnp.float32(depth_band))
+    next_in = jnp.concatenate([in_band[1:], jnp.array([False])])
+    band_end = in_band & (is_last | ~next_in)
+    # exactly-one-winner fallback: if the whole local segment is out of the
+    # global band, the carrier (zero row) wins (see ops/raster.py
+    # accumulate_sums)
+    carrier = (real_s == 0.0) & ok_s
+    head_in_band = segment_broadcast_head(in_band, is_head, head_pos)
+    winner = band_end | (carrier & ~head_in_band)
+
+    w_s = jnp.where(in_band & (real_s > 0), jnp.float32(1.0), 0.0)
+    contrib4 = jnp.stack([r_s * w_s, g_s * w_s, b_s * w_s, w_s], axis=1)
+    csum4 = jnp.cumsum(contrib4, axis=0)
+    prev4 = jnp.concatenate([jnp.zeros((1, 4), jnp.float32), csum4[:-1]], axis=0)
+    head_prev4 = segment_broadcast_head(prev4, is_head, head_pos)
+    sums4 = csum4 - head_prev4
+
+    key = jnp.where(winner, pix_s, jnp.int32(hw))
+    rr, gg, bb, cc = place_rows_by_pixel(
+        key, (sums4[:, 0], sums4[:, 1], sums4[:, 2], sums4[:, 3]), hw
+    )
+    sums = jax.lax.psum(jnp.stack([rr, gg, bb], axis=1), axis)
+    cnt = jax.lax.psum(cc, axis)
+
+    band_real = in_band & (real_s > 0)
+    head_flag = is_head & (real_s > 0) & (own_s > 0)
+    return (sums, cnt, global_min), (pix_s, band_real, head_flag, idx_s)
+
+
+def _bwd_shard(pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth, *, hw, axis):
+    """Per-shard backward: gather cotangent images → mask → un-permute →
+    chain through the projection; camera partials psum over the mesh."""
+    n = pts.shape[0]
+    gr, gg, gb, gz_img = gather_images_sorted(
+        (g_sums[:, 0], g_sums[:, 1], g_sums[:, 2], g_depth), pix_s, hw
+    )
+    wf = band_s.astype(jnp.float32)
+    hf = head_s.astype(jnp.float32)
+    _, cr, cg, cb, cz = jax.lax.sort(
+        (idx_s, gr * wf, gg * wf, gb * wf, gz_img * hf), num_keys=1,
+        is_stable=False,
+    )
+    g_colors = jnp.stack([cr[:n], cg[:n], cb[:n]], axis=1)
+    gz = cz[:n]
+    # z = p · M[2,:3] + M[2,3]
+    g_points = gz[:, None] * Mf[2, :3][None, :]
+    g_M = jnp.zeros((4, 4), jnp.float32).at[2, :3].set(gz @ pts).at[2, 3].set(
+        jnp.sum(gz)
+    )
+    return g_points, g_colors, jax.lax.psum(g_M, axis)
+
+
+def rasterize_diff_point_sharded(
+    points: jax.Array,
+    colors: jax.Array,
+    cam_proj: jax.Array,
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    valid: Optional[jax.Array] = None,
+    depth_band: float = 0.02,
+    points_axis: str = "points",
+) -> DiffRaster:
+    """Differentiable single-frame raster with the scene sharded over
+    ``points_axis``. Same contract as ``rasterize_diff_sorted``; outputs are
+    replicated, gradients land on the owning shard (points/colors) or are
+    psum-merged (cam_proj)."""
+    out = _diff_sharded(
+        points, colors, cam_proj, mesh,
+        width=width, height=height, valid=valid, depth_band=depth_band,
+        points_axis=points_axis, batch_axis=None,
+    )
+    return out
+
+
+def rasterize_diff_sharded_batch(
+    points: jax.Array,
+    colors: jax.Array,
+    cam_projs: jax.Array,
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    valid: Optional[jax.Array] = None,
+    depth_band: float = 0.02,
+    points_axis: str = "points",
+    batch_axis: str = "batch",
+) -> DiffRaster:
+    """Batched frames (cam_projs (F,4,4) sharded over ``batch_axis``) ×
+    point shards; DiffRaster fields carry a leading frame axis."""
+    return _diff_sharded(
+        points, colors, cam_projs, mesh,
+        width=width, height=height, valid=valid, depth_band=depth_band,
+        points_axis=points_axis, batch_axis=batch_axis,
+    )
+
+
+def _diff_sharded(
+    points, colors, cam_proj, mesh, *,
+    width, height, valid, depth_band, points_axis, batch_axis,
+):
+    hw = width * height
+    if valid is None:
+        valid = jnp.ones((points.shape[0],), bool)
+
+    spec_p = P(points_axis)
+    spec_b = P() if batch_axis is None else P(batch_axis)
+    spec_res = spec_p if batch_axis is None else P(batch_axis, points_axis)
+
+    fwd_one = functools.partial(
+        _fwd_shard, width=width, height=height, depth_band=depth_band,
+        axis=points_axis,
+    )
+    bwd_one = functools.partial(_bwd_shard, hw=hw, axis=points_axis)
+
+    if batch_axis is None:
+        fwd_body = fwd_one
+
+        def bwd_body(pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth):
+            return bwd_one(pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth)
+    else:
+        def fwd_body(pts, cols, val, Ms):
+            return jax.vmap(lambda M: fwd_one(pts, cols, val, M))(Ms)
+
+        def bwd_body(pix_s, band_s, head_s, idx_s, pts, Mfs, g_sums, g_depth):
+            gp, gc, gM = jax.vmap(
+                lambda px, bs, hs, ix, Mf, gs, gd: bwd_one(px, bs, hs, ix, pts, Mf, gs, gd)
+            )(pix_s, band_s, head_s, idx_s, Mfs, g_sums, g_depth)
+            # the same scene serves every frame: sum point/color grads over
+            # local frames, then over the batch axis
+            gp = jax.lax.psum(jnp.sum(gp, axis=0), batch_axis)
+            gc = jax.lax.psum(jnp.sum(gc, axis=0), batch_axis)
+            return gp, gc, gM
+
+    fwd_sm = jax.shard_map(
+        fwd_body, mesh=mesh,
+        in_specs=(spec_p, spec_p, spec_p, spec_b),
+        out_specs=((spec_b, spec_b, spec_b), (spec_res,) * 4),
+        check_vma=False,
+    )
+    bwd_sm = jax.shard_map(
+        bwd_body, mesh=mesh,
+        in_specs=(spec_res,) * 4 + (spec_p, spec_b, spec_b, spec_b),
+        out_specs=(spec_p, spec_p, spec_b if batch_axis is not None else P()),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def core(points, colors, cam_proj):
+        out, _ = fwd_sm(points, colors, valid, cam_proj)
+        return out
+
+    def core_fwd(points, colors, cam_proj):
+        out, res = fwd_sm(points, colors, valid, cam_proj)
+        return out, (res, points, cam_proj.astype(jnp.float32))
+
+    def core_bwd(resid, cts):
+        (pix_s, band_s, head_s, idx_s), pts, Mf = resid
+        g_sums, _g_cnt, g_depth = cts
+        g_points, g_colors, g_M = bwd_sm(
+            pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth
+        )
+        return g_points, g_colors, g_M.astype(cam_proj.dtype)
+
+    core.defvjp(core_fwd, core_bwd)
+
+    sums, cnt, depth = core(points, colors, cam_proj)
+    occupied = cnt > 0
+    rgb = jnp.where(occupied[..., None], sums / jnp.maximum(cnt, 1.0)[..., None], 0.0)
+    lead = () if batch_axis is None else (cam_proj.shape[0],)
+    return DiffRaster(
+        rgb=rgb.reshape(*lead, height, width, 3),
+        depth=depth.reshape(*lead, height, width),
+        count=cnt.astype(jnp.int32).reshape(*lead, height, width),
+        mask=occupied.reshape(*lead, height, width),
+    )

@@ -192,6 +192,37 @@ def render_full_batch(
     )
     x = mid["unet_input"]  # (F, H', W', 5)
     x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(batch_axis)))
-    y = unet.apply(unet_variables, x).astype(jnp.float32)[:, :height, :width]
+
+    # Fast batched inference (VERDICT r2 item 6): when the packed
+    # phase-planar path is eligible (TPU, bf16, folded BN, pyramid-padded
+    # shape — models/unet.py phase_input_ok), run the U-Net under shard_map
+    # over the batch axis and apply the phase path per local frame. Each
+    # single-frame apply routes through the Pallas phase kernels (1.7x
+    # faster than the XLA convs at 1080p); parameters stay replicated.
+    import os
+
+    from rtnr_tpu.models.unet import phase_input_ok
+
+    force = os.environ.get("RTNR_SPLIT_FORCE") == "1"
+    f_total = x.shape[0]
+    n_batch_dev = mesh.shape[batch_axis]
+    use_phase = (
+        phase_input_ok(unet, x.shape[1], x.shape[2], force=force)
+        and f_total % n_batch_dev == 0
+    )
+    if use_phase:
+        def apply_local(vars_, x_local):
+            ys = [unet.apply(vars_, x_local[i : i + 1]) for i in range(x_local.shape[0])]
+            return jnp.concatenate(ys, axis=0)
+
+        y = jax.shard_map(
+            apply_local, mesh=mesh,
+            in_specs=(P(), P(batch_axis)),
+            out_specs=P(batch_axis),
+            check_vma=False,
+        )(unet_variables, x)
+    else:
+        y = unet.apply(unet_variables, x)
+    y = y.astype(jnp.float32)[:, :height, :width]
     rgb8 = jnp.clip(jnp.rint(y * 255.0), 0, 255).astype(jnp.uint8)
     return {**mid, "rgb_f": y, "rgb_unet": rgb8}
