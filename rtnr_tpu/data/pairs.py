@@ -8,8 +8,8 @@ the U-Net can be trained against imperfectly-aligned ground truth
 (reference README.md:5).
 
 Generalized beyond E57: any source of posed images works (COLMAP export,
-synthetic renders, e57 embedded imagery via data/e57.py when pye57 is
-available).
+synthetic renders, e57 embedded imagery via the native from-spec reader
+behind data/e57.py — no external E57 library involved).
 """
 
 from __future__ import annotations

@@ -285,6 +285,9 @@ class DoubleConv(nn.Module):
             # packed phase-planar fused pair (ops/conv_phase.py): x (and
             # x2) are packed P-phase arrays; returns (out,) or
             # (out, pooled). Params keep nn.Conv's tree (conv0/conv1).
+            # With split["up"] = (kernel, bias), x2 is the HALF-resolution
+            # deep activation and the decoder's ConvTranspose fuses into
+            # conv0 (ops/conv_phase.py fused-up path).
             from rtnr_tpu.ops.conv_phase import conv3x3_phase
 
             assert self.fold_bn and not train
@@ -293,11 +296,15 @@ class DoubleConv(nn.Module):
             c2 = split.get("c_in2", 0) if x2 is not None else 0
             cin = c0 + c2
             interp = split.get("interpret", False)
+            up = split.get("up")
             f = self.features
             k0, b0 = ConvParams((3, 3, cin, f), name="conv0")()
             arrs = [x] + ([x2] if x2 is not None else [])
             (y,) = conv3x3_phase(
-                arrs, k0, b0, h=h, w=w, P=P, relu=True, interpret=interp,
+                arrs, k0, b0,
+                up_kernel=None if up is None else up[0],
+                up_bias=None if up is None else up[1],
+                h=h, w=w, P=P, relu=True, interpret=interp,
             )
             k1, b1 = ConvParams((3, 3, f, f), name="conv1")()
             head = split.get("head")
@@ -421,12 +428,22 @@ class UNet(nn.Module):
         P0 = 1 << n_lv
         use_phase = (
             not train
-            and x.shape[0] == 1
             and phase_input_ok(self, x.shape[1], x.shape[2], force=force)
         )
         interp = force and jax.default_backend() != "tpu"
-        if use_phase:
+        if use_phase and x.shape[0] == 1:
             return self._phase_forward(x, P0, interp)
+        if use_phase:
+            # batched inference stays on the fast phase path: the Pallas
+            # kernels are single-image (rows are (H+2)*C), so run one
+            # unrolled phase forward per frame — per-frame cost equals the
+            # single-image fast path, which beats the XLA-conv fallback
+            # ~1.7x at deployment shapes (PROFILE_r02.md)
+            outs = [
+                self._phase_forward(x[i : i + 1], P0, interp)
+                for i in range(x.shape[0])
+            ]
+            return jnp.concatenate(outs, axis=0)
 
         skips = []
         for i, f in enumerate(self.features):
@@ -510,27 +527,44 @@ class UNet(nn.Module):
         )(xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc, interpret=interp))
         cc = self.features[-1] * 2
 
+        import os as _os
+
+        from rtnr_tpu.ops.conv_phase import fuse_up_ok
+
+        no_fuse = _os.environ.get("RTNR_FUSE_UP") == "0"
         for i, f in enumerate(reversed(self.features)):
             kup, bup = ConvParams((2, 2, cc, f), name=f"up{i}")()
             hs, ws = hs * 2, ws * 2
-            tr_t = 4 if (hs // 2) % 4 == 0 and cc < 512 else 2
-            xp = convt2x2_phase(
-                xp, kup, bup, h=hs, w=ws, P=P, rows_per_step=tr_t,
-                interpret=interp,
-            )
-            P *= 2
             last = i == len(self.features) - 1
             head = None
             if last:
                 kf, bf = ConvParams((1, 1, f, self.out_channels),
                                     name="final_conv")()
                 head = (kf[0, 0], bf)
-            (xp,) = DoubleConv(
-                f, dtype=self.dtype, fold_bn=self.fold_bn,
-                conv_impl=self.conv_impl, name=f"updc{i}",
-            )(skips[-(i + 1)], False, x2=xp,
-              split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f, head=head,
-                         interpret=interp))
+            # fuse the ConvTranspose into the following conv pair's first
+            # conv when it fits VMEM in one F block (saves one full-res
+            # activation round trip through HBM); else run it standalone
+            if not no_fuse and fuse_up_ok(hs, 2 * P, f, f, cc, f):
+                P *= 2
+                (xp,) = DoubleConv(
+                    f, dtype=self.dtype, fold_bn=self.fold_bn,
+                    conv_impl=self.conv_impl, name=f"updc{i}",
+                )(skips[-(i + 1)], False, x2=xp,
+                  split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f, head=head,
+                             up=(kup, bup), interpret=interp))
+            else:
+                tr_t = 4 if (hs // 2) % 4 == 0 and cc < 512 else 2
+                xp = convt2x2_phase(
+                    xp, kup, bup, h=hs, w=ws, P=P, rows_per_step=tr_t,
+                    interpret=interp,
+                )
+                P *= 2
+                (xp,) = DoubleConv(
+                    f, dtype=self.dtype, fold_bn=self.fold_bn,
+                    conv_impl=self.conv_impl, name=f"updc{i}",
+                )(skips[-(i + 1)], False, x2=xp,
+                  split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f, head=head,
+                             interpret=interp))
             cc = f
         return from_phase(xp, h0, w0, 8, P)[..., : self.out_channels]
 

@@ -79,26 +79,38 @@ def _conv_phase_kernel(
     relu: bool,
     pool: bool,
     head: bool,
+    up_cd: int = 0,  # fused ConvTranspose: deep input channel count (0 = off)
+    up_h: int = 0,  # output height (up-row zero-pad bounds)
 ):
     nw = 1 + int(head)
+    upc = up_cd > 0
     xs = refs[:n_in]
     w_hbm = refs[n_in]
     h_hbm = refs[n_in + 1] if head else None
     b_hbm = refs[n_in + nw]
-    outs = refs[n_in + nw + 1 :]
+    wt_hbm = refs[n_in + nw + 1] if upc else None
+    bt_hbm = refs[n_in + nw + 2] if upc else None
+    n_args = n_in + nw + 1 + 2 * int(upc)
+    outs = refs[n_args:]
     o_hbm = outs[0]
     pool_hbm = outs[1] if pool else None
-    scratch = refs[n_in + nw + 1 + 1 + int(pool) :]
+    scratch = refs[n_args + 1 + int(pool) :]
     xs_v = scratch[:n_in]
     w_v = scratch[n_in]
     h_v = scratch[n_in + 1] if head else None
     b_v = scratch[n_in + nw]
-    y_v = scratch[n_in + nw + 1]
-    p_v = scratch[n_in + nw + 2] if pool else None
-    z_v = scratch[n_in + nw + 2 + int(pool)]
-    in_sem = scratch[n_in + nw + 3 + int(pool)]
-    o_sem = scratch[n_in + nw + 4 + int(pool)]
-    wb_sem = scratch[n_in + nw + 5 + int(pool)]
+    base = n_in + nw + 1
+    if upc:
+        wt_v = scratch[base]
+        bt_v = scratch[base + 1]
+        up_v = scratch[base + 2]
+        base += 3
+    y_v = scratch[base]
+    p_v = scratch[base + 1] if pool else None
+    z_v = scratch[base + 1 + int(pool)]
+    in_sem = scratch[base + 2 + int(pool)]
+    o_sem = scratch[base + 3 + int(pool)]
+    wb_sem = scratch[base + 4 + int(pool)]
 
     # grid (F blocks, row steps): weights for output channels
     # [fb*FB, (fb+1)*FB) stay VMEM-resident across a full row sweep (deep
@@ -116,16 +128,28 @@ def _conv_phase_kernel(
 
     def start_fetch(gn, s):
         for i in range(n_in):
-            pltpu.make_async_copy(
-                xs[i].at[pl.ds(gn * TR * C[i], (TR + 2) * C[i]), :],
-                xs_v[i].at[s],
-                in_sem.at[s, i],
-            ).start()
+            if upc and i == 1:
+                # fused ConvTranspose: input 1 is the half-resolution deep
+                # activation; its window spans the deep rows feeding up rows
+                # [gn*TR-1, gn*TR+TR]
+                pltpu.make_async_copy(
+                    xs[1].at[pl.ds(gn * (TR // 2) * up_cd,
+                                   (TR // 2 + 2) * up_cd), :],
+                    xs_v[1].at[s],
+                    in_sem.at[s, 1],
+                ).start()
+            else:
+                pltpu.make_async_copy(
+                    xs[i].at[pl.ds(gn * TR * C[i], (TR + 2) * C[i]), :],
+                    xs_v[i].at[s],
+                    in_sem.at[s, i],
+                ).start()
 
     def wait_fetch(s):
         for i in range(n_in):
+            rows = (TR // 2 + 2) * up_cd if (upc and i == 1) else (TR + 2) * C[i]
             pltpu.make_async_copy(
-                xs[i].at[pl.ds(0, (TR + 2) * C[i]), :], xs_v[i].at[s],
+                xs[i].at[pl.ds(0, rows), :], xs_v[i].at[s],
                 in_sem.at[s, i],
             ).wait()
 
@@ -134,6 +158,13 @@ def _conv_phase_kernel(
         start_fetch(0, 0)
         if head:
             cp = pltpu.make_async_copy(h_hbm, h_v, wb_sem)
+            cp.start()
+            cp.wait()
+        if upc:
+            cp = pltpu.make_async_copy(wt_hbm, wt_v, wb_sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(bt_hbm, bt_v, wb_sem)
             cp.start()
             cp.wait()
         cp = pltpu.make_async_copy(b_hbm, b_v, wb_sem)
@@ -214,6 +245,47 @@ def _conv_phase_kernel(
     def _():
         wait_out(slot)
 
+    # fused ConvTranspose: materialize the up window for this step's rows
+    # in VMEM from the deep fetch — up_v plays the role of input 1's
+    # (TR+2)-row window, so the conv's rhs indexing below is unchanged.
+    # Values are bit-identical to the standalone convt2x2_phase kernel
+    # (same f32 matmul + bias + WU mask + bf16 rounding).
+    if upc:
+        C2 = C[1]
+        Pd = P // 2
+        bt = bt_v[:, 0:1].astype(jnp.float32)
+        ud = jax.lax.broadcasted_iota(jnp.int32, (C2, Pd * WS), 1) & (WS - 1)
+        for qi in range(TR // 2 + 2):
+            drow = xs_v[1][slot][qi * up_cd : (qi + 1) * up_cd, :]
+            A_t = jax.lax.dot_general(
+                wt_v[:, :], drow,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4*C2, Pd*WS)
+            Ay = []
+            for jj in range(4):
+                yj = A_t[jj * C2 : (jj + 1) * C2, :] + bt
+                yj = jnp.where(ud < WU, yj, jnp.float32(0.0))
+                Ay.append(yj.astype(jnp.bfloat16))
+            for dy in range(2):
+                r_rel = 2 * qi + dy - 1
+                if 0 <= r_rel <= TR + 1:
+                    row = jnp.concatenate(
+                        [
+                            Ay[2 * dy + dx][:, pp * WS : (pp + 1) * WS]
+                            for pp in range(Pd)
+                            for dx in range(2)
+                        ],
+                        axis=1,
+                    )
+                    # up rows -1 and up_h are the conv's zero padding, NOT
+                    # convT(0) + bias
+                    r_abs = g * TR - 1 + r_rel
+                    valid = (r_abs >= 0) & (r_abs < up_h)
+                    up_v[r_rel * C2 : (r_rel + 1) * C2, :] = jnp.where(
+                        valid, row, jnp.bfloat16(0)
+                    )
+
     # one matmul per image row directly on the fetched window — rows
     # [t*C, (t+3)*C) of the block ARE the dy-stacked taps, so no P matrix
     # is ever materialized (saves a (3C, TR*LB) VPU copy per step)
@@ -222,11 +294,12 @@ def _conv_phase_kernel(
         if n_in == 1:
             rhs = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
         else:
-            rhs = jnp.concatenate(
-                [xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
-                 for i in range(n_in)],
-                axis=0,
-            )
+            def tap(i):
+                if upc and i == 1:
+                    return up_v[t * C[1] : (t + 3) * C[1], :]
+                return xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
+
+            rhs = jnp.concatenate([tap(i) for i in range(n_in)], axis=0)
         A = mm(w_lhs, rhs)  # (3*FB, LB) f32
         A0, A1, A2 = A[0:FB, :], A[FB : 2 * FB, :], A[2 * FB :, :]
 
@@ -347,7 +420,8 @@ def _conv_phase_kernel(
 
 
 def _pick_tr_fb(
-    h: int, P: int, Cs: Tuple[int, ...], F: int, pool: bool, head: bool
+    h: int, P: int, Cs: Tuple[int, ...], F: int, pool: bool, head: bool,
+    up_cd: int = 0,
 ) -> Tuple[int, int]:
     """Largest (rows-per-step, F-block) whose VMEM footprint fits (~13 MB
     of the 16 MB scoped limit), per the kernel's scratch + live values."""
@@ -358,13 +432,25 @@ def _pick_tr_fb(
     sumC = sum(Cs)
     lb = P * WS
     for tr in (8, 4, 2):
-        if h % tr or (pool and tr % 2):
+        if h % tr or (pool and tr % 2) or (up_cd and tr % 2):
             continue
-        base = sum(2 * (tr + 2) * c * lb * 2 for c in Cs)  # fetch, 2 slots
+        base = 0
+        for i, c in enumerate(Cs):
+            if up_cd and i == 1:
+                # fused ConvTranspose: deep fetch (half rows, half lanes)
+                # + the materialized up window + convT weights/accumulator
+                base += 2 * (tr // 2 + 2) * up_cd * (lb // 2) * 2
+                base += (tr + 2) * c * lb * 2  # up_v staging
+                base += 2 * 4 * c * up_cd * 2  # wt (scratch + loaded value)
+                base += 4 * c * (lb // 2) * 4  # A_t f32 (dies per deep row)
+            else:
+                base += 2 * (tr + 2) * c * lb * 2  # fetch, 2 slots
         fbs = [F] if head else [f for f in (F, F // 2, F // 4, F // 8)
                                 if f >= 8 and f % 8 == 0]
         k128 = _round_up(3 * sumC, 128)
         for fbl in fbs:
+            if up_cd and fbl != F:
+                continue  # fused path requires a single F block
             est = (
                 base
                 # weight block counts twice: the VMEM scratch AND the value
@@ -379,6 +465,14 @@ def _pick_tr_fb(
     return 2, 8
 
 
+def fuse_up_ok(h: int, P: int, c_skip: int, c_up: int, up_cd: int, F: int) -> bool:
+    """Whether the fused-ConvTranspose conv fits VMEM with a single F block
+    at this level (the fusion requires n_fb == 1: an F-blocked sweep would
+    recompute the up window once per block)."""
+    tr, fb = _pick_tr_fb(h, P, (c_skip, c_up), F, False, False, up_cd)
+    return fb == F and tr % 2 == 0 and h % tr == 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("h", "w", "P", "relu", "pool", "rows_per_step",
@@ -390,6 +484,8 @@ def conv3x3_phase(
     bias: Optional[jax.Array] = None,
     head_kernel: Optional[jax.Array] = None,
     head_bias: Optional[jax.Array] = None,
+    up_kernel: Optional[jax.Array] = None,
+    up_bias: Optional[jax.Array] = None,
     *,
     h: int,
     w: int,
@@ -402,19 +498,35 @@ def conv3x3_phase(
     """3x3 s1 same conv over the channel-concat of packed phase-planar
     inputs at P phases; optional fused ReLU, 2x2-max-pool side output
     (packed at P/2 phases), and fused 1x1 head (applied after ReLU; head
-    output channels pad to 8). Returns (out,) / (out, pooled)."""
+    output channels pad to 8). Returns (out,) / (out, pooled).
+
+    With ``up_kernel`` (2, 2, C_deep, C_up), input 1 is the HALF-resolution
+    deep activation (P/2 phases, h/2 rows) and the 2x2-stride-2 transposed
+    conv is fused into this kernel: the up window materializes in VMEM per
+    row step (bit-identical values to ``convt2x2_phase``), skipping one
+    full-resolution activation round-trip through HBM per decoder level."""
     n_in = len(xs)
     assert n_in in (1, 2)
     assert w % P == 0 and w // P <= WS
-    Cs = tuple(int(x.shape[0]) // (h + 2) for x in xs)
+    upc = up_kernel is not None
+    if upc:
+        assert n_in == 2 and not pool and P % 2 == 0
+        up_cd = int(up_kernel.shape[2])
+        Cs = (int(xs[0].shape[0]) // (h + 2), int(up_kernel.shape[3]))
+        assert int(xs[1].shape[0]) // (h // 2 + 2) == up_cd
+        assert xs[1].shape[1] == (P // 2) * WS
+    else:
+        up_cd = 0
+        Cs = tuple(int(x.shape[0]) // (h + 2) for x in xs)
     sumC = sum(Cs)
     F = kernel.shape[-1]
     head = head_kernel is not None
     assert not (head and pool)
-    tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head)
+    tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd)
     TR = rows_per_step or tr_auto
     n_fb = F // FB
     assert h % TR == 0 and (not pool or (TR % 2 == 0 and P % 2 == 0))
+    assert not upc or (n_fb == 1 and TR % 2 == 0)
     steps = h // TR
     F2 = _round_up(head_kernel.shape[-1], 8) if head else F
 
@@ -458,6 +570,19 @@ def conv3x3_phase(
             jnp.broadcast_to(hb.astype(jnp.bfloat16)[:, None], (F2, 128))
         )
     args.append(jnp.concatenate(brows, axis=0))
+    if upc:
+        c2 = Cs[1]
+        # flax ConvTranspose applies the SPATIALLY FLIPPED kernel (see
+        # convt2x2_phase)
+        wt = (
+            up_kernel[::-1, ::-1].transpose(0, 1, 3, 2).reshape(4 * c2, up_cd)
+            .astype(jnp.bfloat16)
+        )
+        btv = jnp.zeros((c2,), jnp.float32) if up_bias is None else up_bias
+        args.append(wt)
+        args.append(
+            jnp.broadcast_to(btv.astype(jnp.bfloat16)[:, None], (c2, 128))
+        )
 
     FO = F2 if head else F
     LB = P * WS
@@ -467,14 +592,25 @@ def conv3x3_phase(
             jax.ShapeDtypeStruct(((h // 2 + 2) * F, LB // 2), jnp.bfloat16)
         )
 
-    scratch = [
-        pltpu.VMEM((2, (TR + 2) * c, LB), jnp.bfloat16) for c in Cs
-    ]
+    scratch = []
+    for i, c in enumerate(Cs):
+        if upc and i == 1:
+            scratch.append(
+                pltpu.VMEM((2, (TR // 2 + 2) * up_cd, LB // 2), jnp.bfloat16)
+            )
+        else:
+            scratch.append(pltpu.VMEM((2, (TR + 2) * c, LB), jnp.bfloat16))
     scratch += [pltpu.VMEM((3 * FB, K128), jnp.bfloat16)]
     if head:
         scratch += [pltpu.VMEM((F2, _round_up(F, 128)), jnp.bfloat16)]
+    scratch += [pltpu.VMEM((F + (F2 if head else 0), 128), jnp.bfloat16)]
+    if upc:
+        scratch += [
+            pltpu.VMEM((4 * Cs[1], up_cd), jnp.bfloat16),
+            pltpu.VMEM((Cs[1], 128), jnp.bfloat16),
+            pltpu.VMEM(((TR + 2) * Cs[1], LB), jnp.bfloat16),  # up window
+        ]
     scratch += [
-        pltpu.VMEM((F + (F2 if head else 0), 128), jnp.bfloat16),
         pltpu.VMEM((2, F2 if head else FB, TR * LB), jnp.bfloat16),  # y x2
     ]
     if pool:
@@ -500,6 +636,8 @@ def conv3x3_phase(
             relu=relu,
             pool=pool,
             head=head,
+            up_cd=up_cd,
+            up_h=h,
         ),
         out_shape=out_shapes,
         grid=(n_fb, steps),

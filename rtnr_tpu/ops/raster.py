@@ -123,8 +123,17 @@ def project_and_sort(
     height: int,
     valid: Optional[jax.Array] = None,
     carriers: bool = True,
+    depth_key: bool = True,
 ) -> SortedPoints:
-    """Project points and sort (with per-pixel carriers) by (pixel, depth)."""
+    """Project points and sort (with per-pixel carriers) by (pixel, depth).
+
+    ``depth_key=False`` sorts by pixel id ONLY (one key instead of two —
+    measured 5.35 vs 8.74 ms marginal at 5M elements on v5e,
+    scripts/profile_sort3.py): elements of a pixel segment arrive in
+    arbitrary depth order. Only valid for consumers that are order-free
+    within a segment (ops/raster_pallas5.py, which computes the segment min
+    with a scan instead of taking the head) — the carrier path and v1-v4
+    kernels require the depth-sorted invariant."""
     hw = width * height
     u, v, z = project_points(points, cam_proj.astype(jnp.float32))
     pix, ok = _pixel_ids(u, v, z, valid, width, height)
@@ -149,7 +158,7 @@ def project_and_sort(
     # downstream segment math (sums/count/min are commutative; winner picks
     # by key only) — measured 16.9 -> 12.1 ms at 5M elements on v5e
     pix_s, zb_s, packed_s = jax.lax.sort(
-        (pix, z_bits, packed), num_keys=2, is_stable=False
+        (pix, z_bits, packed), num_keys=2 if depth_key else 1, is_stable=False
     )
     z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
     rgb_s = jnp.stack(
@@ -382,9 +391,21 @@ def _raster_sums(
     hw = width * height
     import os
 
+    # v4 (depth-keyed sort, csum-diff winners) is the measured default; v5
+    # (pixel-only sort + segmented-min winners) measured within noise of it
+    # at the bench shape (scripts/profile_raster5.py) and is kept as a foil
     resolve = os.environ.get("RTNR_RESOLVE", "v4")
     on_tpu = jax.default_backend() == "tpu"
     big = points.shape[0] + hw >= (1 << 17)
+    if on_tpu and big and resolve == "v5":
+        # pixel-only single-key sort (no depth key, no carriers): the
+        # winners kernel computes segment mins with a scan instead
+        from rtnr_tpu.ops.raster_pallas5 import raster_images_pallas5
+
+        sp = project_and_sort(points, colors, cam_proj, width=width,
+                              height=height, valid=valid, carriers=False,
+                              depth_key=False)
+        return raster_images_pallas5(sp, hw, depth_band)
     if on_tpu and big and resolve == "v4":
         # carrier-free: skips sorting H*W carrier elements entirely
         from rtnr_tpu.ops.raster_pallas4 import raster_images_pallas4

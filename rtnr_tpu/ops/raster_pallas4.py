@@ -137,8 +137,59 @@ def _winners_kernel4(
     prev_pix = jnp.where(lane == 0, prev_last, pix_rolled)
     is_head = pix != prev_pix
 
-    # ---- contribution csum: MXU triangular block-scan (v3 recipe) ----
-    X = jnp.concatenate([r * real, g * real, b * real, real], axis=0)  # (32, Lc)
+    # ---- head-depth broadcast (v3 recipe, zb row only) ----
+    hp = jnp.where(is_head, lane, -1)
+    s = 1
+    while s < Lc:
+        hp = jnp.maximum(hp, jnp.where(lane >= s, pltpu.roll(hp, s, axis=1), -1))
+        s *= 2
+    no_head = hp < 0
+    dist = lane - jnp.maximum(hp, 0)
+
+    H = zb  # (8, Lc)
+    s = 1
+    while s < Lc:
+        H = jnp.where(dist < s, H, pltpu.roll(H, s, axis=1))
+        s *= 2
+
+    has_head_i = jnp.where(last_col(hp) >= 0, 1, 0)
+    v_end = last_col(H)
+    row8h = jax.lax.broadcasted_iota(_I32, (8, 1), 0)
+    init8 = jnp.zeros((8, 1), _I32) + carry[5]
+    out_v = jnp.where(has_head_i == 1, v_end, init8)
+    fnd = has_head_i
+    s = 1
+    while s < 8:
+        sh_v = jnp.concatenate([out_v[0:s], out_v[0 : 8 - s]], axis=0)
+        sh_f = jnp.concatenate([jnp.zeros((s, 1), _I32), fnd[0 : 8 - s]], axis=0)
+        take = (fnd == 0) & (sh_f == 1) & (row8h >= s)
+        out_v = jnp.where(take, sh_v, out_v)
+        fnd = jnp.where(take, 1, fnd)
+        s *= 2
+    inc_v = jnp.concatenate([init8[0:1], out_v[0:7]], axis=0)
+    inc_f = jnp.concatenate([jnp.zeros((1, 1), _I32), fnd[0:7]], axis=0)
+    inc = jnp.where((inc_f == 1) & (row8h >= 1), inc_v, init8)
+    h_zb = jnp.where(no_head, inc, H)
+
+    # ---- band + winner ----
+    z = jax.lax.bitcast_convert_type(zb, jnp.float32)
+    z_head = jax.lax.bitcast_convert_type(h_zb, jnp.float32)
+    in_band = ok & jnp.logical_not(z > z_head + jnp.float32(depth_band))
+    next_pix = jnp.where(
+        lane == Lc - 1, pix16[1:9, 0:1], pltpu.roll(pix, Lc - 1, axis=1)
+    )
+    next_zb = jnp.where(lane == Lc - 1, zb16[1:9, 0:1], pltpu.roll(zb, Lc - 1, axis=1))
+    next_z = jax.lax.bitcast_convert_type(next_zb, jnp.float32)
+    is_last = pix != next_pix
+    winner = in_band & (is_last | (next_z > z_head + jnp.float32(depth_band)))
+
+    # ---- IN-BAND-weighted contribution csum (MXU triangular block-scan).
+    # Out-of-band elements contribute zero, so the winner rows can carry the
+    # INCLUSIVE global csums: the expansion recovers each pixel's sums as
+    # the difference between consecutive winner ranks, which removes the
+    # 32-row pre-head prefix broadcast cascade entirely ----
+    w_i = real * in_band.astype(_I32)
+    X = jnp.concatenate([r * w_i, g * w_i, b * w_i, w_i], axis=0)  # (32, Lc)
     TS = tri_v.shape[0]
     xb = X.astype(jnp.bfloat16)
     blocks = []
@@ -169,72 +220,8 @@ def _winners_kernel4(
     )
     pre_row = (acc - T) + base4
     Xg = X_lane + pre_row
-    lane32 = jax.lax.broadcasted_iota(_I32, (32, Lc), 1)
-    PR = jnp.where(lane32 == 0, pre_row, pltpu.roll(Xg, 1, axis=1))
 
-    # ---- head broadcast (v3 recipe) ----
-    hp = jnp.where(is_head, lane, -1)
-    s = 1
-    while s < Lc:
-        hp = jnp.maximum(hp, jnp.where(lane >= s, pltpu.roll(hp, s, axis=1), -1))
-        s *= 2
-    no_head = hp < 0
-    dist = lane - jnp.maximum(hp, 0)
-
-    H = jnp.concatenate([PR, zb], axis=0)  # (40, Lc)
-    dist40 = jnp.concatenate([dist] * 5, axis=0)
-    s = 1
-    while s < Lc:
-        H = jnp.where(dist40 < s, H, pltpu.roll(H, s, axis=1))
-        s *= 2
-
-    has_head_i = jnp.where(last_col(hp) >= 0, 1, 0)
-    hh40 = jnp.concatenate([has_head_i] * 5, axis=0)
-    v_end = last_col(H)
-    row40 = jax.lax.broadcasted_iota(_I32, (40, 1), 0)
-    g40 = row40 & 7
-    grp40 = row40 >> 3
-    init40 = jnp.where(
-        grp40 == 0,
-        carry[6],
-        jnp.where(
-            grp40 == 1,
-            carry[7],
-            jnp.where(grp40 == 2, carry[8], jnp.where(grp40 == 3, carry[9], carry[5])),
-        ),
-    )
-    out_v = jnp.where(hh40 == 1, v_end, init40)
-    fnd = hh40
-    s = 1
-    while s < 8:
-        sh_v = jnp.concatenate([out_v[0:s], out_v[0 : 40 - s]], axis=0)
-        sh_f = jnp.concatenate([jnp.zeros((s, 1), _I32), fnd[0 : 40 - s]], axis=0)
-        take = (fnd == 0) & (sh_f == 1) & (g40 >= s)
-        out_v = jnp.where(take, sh_v, out_v)
-        fnd = jnp.where(take, 1, fnd)
-        s *= 2
-    inc_v = jnp.concatenate([init40[0:1], out_v[0:39]], axis=0)
-    inc_f = jnp.concatenate([jnp.zeros((1, 1), _I32), fnd[0:39]], axis=0)
-    inc = jnp.where((inc_f == 1) & (g40 >= 1), inc_v, init40)
-    nh40 = jnp.concatenate([no_head] * 5, axis=0)
-    H = jnp.where(nh40, inc, H)
-
-    h_PR = H[0:32, :]
-    h_zb = H[32:40, :]
-
-    # ---- band + winner ----
-    z = jax.lax.bitcast_convert_type(zb, jnp.float32)
-    z_head = jax.lax.bitcast_convert_type(h_zb, jnp.float32)
-    in_band = ok & jnp.logical_not(z > z_head + jnp.float32(depth_band))
-    next_pix = jnp.where(
-        lane == Lc - 1, pix16[1:9, 0:1], pltpu.roll(pix, Lc - 1, axis=1)
-    )
-    next_zb = jnp.where(lane == Lc - 1, zb16[1:9, 0:1], pltpu.roll(zb, Lc - 1, axis=1))
-    next_z = jax.lax.bitcast_convert_type(next_zb, jnp.float32)
-    is_last = pix != next_pix
-    winner = in_band & (is_last | (next_z > z_head + jnp.float32(depth_band)))
-
-    SUM = Xg - h_PR
+    SUM = Xg  # inclusive csums; the expansion diffs consecutive winners
 
     # ---- winner-rank csum (one more MXU block-scan, 8 rows) ----
     wb = winner.astype(jnp.bfloat16)
@@ -332,26 +319,42 @@ def _winners_kernel4(
             rolled = pltpu.roll(padded, rq, axis=1)
             lane_t = jax.lax.broadcasted_iota(_I32, (8, S + 128), 1)
             tmask = (lane_t >= rq) & (lane_t < rq + S)
-            cur = part_out[:, pl.ds(q_al, S + 128)]
-            part_out[:, pl.ds(q_al, S + 128)] = jnp.where(tmask, rolled, cur)
+            cur = part_out[slot, :, pl.ds(q_al, S + 128)]
+            part_out[slot, :, pl.ds(q_al, S + 128)] = jnp.where(tmask, rolled, cur)
             o_sub = o_sub + k_c
 
+    # double-buffered output stores: this part's DMA drains while the next
+    # part computes; the previous part's DMA (a full part of compute old)
+    # is waited here, after which its slot's leading block can take the tail
     carry[11] = ((o_part - r_part) // 128) * 128
     o_al = pl.multiple_of(carry[11], 128)
-    dma = pltpu.make_async_copy(
-        part_out.at[:, pl.ds(0, L + 256)],
+    pltpu.make_async_copy(
+        part_out.at[slot, :, pl.ds(0, L + 256)],
         wout_hbm.at[:, pl.ds(o_al, L + 256)],
-        out_sem,
-    )
-    dma.start()
+        out_sem.at[slot],
+    ).start()
+
+    def wait_outdma(s):
+        pltpu.make_async_copy(
+            part_out.at[s, :, pl.ds(0, L + 256)],
+            wout_hbm.at[:, pl.ds(0, L + 256)],
+            out_sem.at[s],
+        ).wait()
+
+    @pl.when(p >= 1)
+    def _():
+        wait_outdma(1 - slot)
 
     end = r_part + o_sub
     carry[13] = (end // 128) * 128
     tail_al = pl.multiple_of(carry[13], 128)
-    dma.wait()
-    tail = part_out[:, pl.ds(tail_al, 128)]
-    part_out[:, pl.ds(0, 128)] = tail
+    tail = part_out[slot, :, pl.ds(tail_al, 128)]
+    part_out[1 - slot, :, pl.ds(0, 128)] = tail
     r_next = end - tail_al
+
+    @pl.when(p == n_parts - 1)
+    def _():
+        wait_outdma(slot)
 
     last = Lc - 1
     carry[0] = Xg[7, last]
@@ -359,11 +362,7 @@ def _winners_kernel4(
     carry[2] = Xg[23, last]
     carry[3] = Xg[31, last]
     carry[4] = pix[7, last]
-    carry[5] = H[39, last]
-    carry[6] = H[7, last]
-    carry[7] = H[15, last]
-    carry[8] = H[23, last]
-    carry[9] = H[31, last]
+    carry[5] = h_zb[7, last]
     carry[10] = o_part + o_sub
     carry[12] = r_next
     carry[14] = Wg[7, last]
@@ -374,7 +373,8 @@ def _expand_kernel4(
     total_ref,  # SMEM (1,) i32 — number of winners
     wimg_hbm,  # (8, out_w) i32 winner stream
     out_hbm,  # (8, PB*PL) i32 dense image
-    win_v,  # VMEM (8, PL + SE + 256)
+    win_v,  # VMEM (8, PL + SE + 384)
+    rows_v,  # VMEM (8, PL + SE + 384) — extracted + rank-diffed rows
     out_v,  # VMEM (8, PL)
     smem,  # SMEM (2,)
     in_sem,
@@ -385,45 +385,63 @@ def _expand_kernel4(
     hw: int,
 ):
     p = pl.program_id(0)
+    PB = pl.num_programs(0)
     n_sub = PL // SE
-    W_WIN = PL + SE + 256
+    W_WIN = PL + SE + 384
+    slot = jax.lax.rem(p, 2)
 
-    smem[0] = (starts_ref[p] // 128) * 128
-    s_al = pl.multiple_of(smem[0], 128)
-    cp = pltpu.make_async_copy(
-        wimg_hbm.at[:, pl.ds(s_al, W_WIN)], win_v, in_sem
-    )
-    cp.start()
+    # double-buffered window fetch; the aligned start rides SMEM per slot.
+    # The window fetches one extra 128-lane block in FRONT: winner rows
+    # carry INCLUSIVE csums, and each pixel's sums are the diff against the
+    # previous rank.
+    def start_fetch(pp, s):
+        smem[s] = jnp.maximum((starts_ref[pp] // 128) * 128 - 128, 0)
+        sa = pl.multiple_of(smem[s], 128)
+        pltpu.make_async_copy(
+            wimg_hbm.at[:, pl.ds(sa, W_WIN)], win_v.at[s], in_sem.at[s]
+        ).start()
+
+    @pl.when(p == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(p + 1 < PB)
+    def _():
+        start_fetch(p + 1, 1 - slot)
+
     total = total_ref[0]
-    cp.wait()
+    pltpu.make_async_copy(
+        wimg_hbm.at[:, pl.ds(0, W_WIN)], win_v.at[slot], in_sem.at[slot]
+    ).wait()
+    s_al = pl.multiple_of(smem[slot], 128)
 
-    # window-relative winner pixel ids (row 5), garbage beyond `total`
-    # masked to the hw sentinel — sub-chunk window starts are then found
-    # IN-KERNEL as count(pix < base) (the searchsorted of a sorted window),
-    # so the host only prefetches one scalar per part (SMEM is tiny).
+    # extract all six winner rows ONCE over the whole window (masked
+    # reductions: lazy sublane rolls keep a layout offset that breaks later
+    # lane-concats), diff the csum rows 0-3 against the previous rank
+    # (global rank 0 diffs against zero), and stage into rows_v so the
+    # sub-chunk loop can slice a ref at dynamic 128-aligned offsets.
     row8w = jax.lax.broadcasted_iota(_I32, (8, W_WIN), 0)
-    wpix_all = jnp.sum(jnp.where(row8w == 5, win_v[:, :], 0), axis=0,
-                       keepdims=True)
     gidx_w = s_al + jax.lax.broadcasted_iota(_I32, (1, W_WIN), 1)
-    wpix_clean = jnp.where(gidx_w < total, wpix_all, _I32(hw))
+    vr = [
+        jnp.sum(jnp.where(row8w == k, win_v[slot], 0), axis=0, keepdims=True)
+        for k in range(6)
+    ]
+    wpix_clean = jnp.where(gidx_w < total, vr[5], _I32(hw))
+    for k in range(4):
+        prev = pltpu.roll(vr[k], 1, axis=1)
+        rows_v[k : k + 1, :] = vr[k] - jnp.where(gidx_w == 0, 0, prev)
+    rows_v[4:5, :] = vr[4]
+    rows_v[5:6, :] = wpix_clean
 
     NQ = SE // 128
     SW = SE + 128
     for j in range(n_sub):
         base = p * PL + j * SE
         cnt = jnp.sum((wpix_clean < base).astype(_I32))
-        smem[1] = (cnt // 128) * 128
-        lo_al = pl.multiple_of(smem[1], 128)
-        sw = win_v[:, pl.ds(lo_al, SW)]  # (8, SE+128)
-        # rows to sublane offset 0 via masked reduction (lazy sublane rolls
-        # keep a layout offset that breaks later lane-concats)
-        row8 = jax.lax.broadcasted_iota(_I32, (8, SW), 0)
-        vrows = [
-            jnp.sum(jnp.where(row8 == k, sw, 0), axis=0, keepdims=True)
-            for k in range(6)
-        ]
+        smem[2] = (cnt // 128) * 128
+        lo_al = pl.multiple_of(smem[2], 128)
+        vrows = [rows_v[k : k + 1, pl.ds(lo_al, SW)] for k in range(6)]
         wpix = vrows[5]
-        base = p * PL + j * SE
         gidx = s_al + lo_al + jax.lax.broadcasted_iota(_I32, (1, SW), 1)
         valid = (wpix >= base) & (wpix < base + SE) & (wpix < hw) & (gidx < total)
         d_row = jnp.where(valid, wpix - base, _I32(-1))  # (1, SW)
@@ -473,11 +491,25 @@ def _expand_kernel4(
         out8 = jnp.concatenate(
             out_rows[:4] + [depth, jnp.zeros((3, SE), _I32)], axis=0
         )
-        out_v[:, j * SE : (j + 1) * SE] = out8
+        out_v[slot, :, j * SE : (j + 1) * SE] = out8
 
-    dma = pltpu.make_async_copy(out_v, out_hbm.at[:, pl.ds(p * PL, PL)], out_sem)
-    dma.start()
-    dma.wait()
+    # double-buffered store: drains during the next part's compute
+    pltpu.make_async_copy(
+        out_v.at[slot], out_hbm.at[:, pl.ds(p * PL, PL)], out_sem.at[slot]
+    ).start()
+
+    def wait_out(s):
+        pltpu.make_async_copy(
+            out_v.at[s], out_hbm.at[:, pl.ds(0, PL)], out_sem.at[s]
+        ).wait()
+
+    @pl.when(p >= 1)
+    def _():
+        wait_out(1 - slot)
+
+    @pl.when(p == PB - 1)
+    def _():
+        wait_out(slot)
 
 
 def raster_images_pallas4(
@@ -528,7 +560,7 @@ def raster_images_pallas4(
         <= jax.lax.broadcasted_iota(jnp.int32, (TS, TS), 1)
     ).astype(jnp.bfloat16)
 
-    out_w = hw + L + 1024
+    out_w = hw + L + 2048
 
     wimg = pl.pallas_call(
         functools.partial(_winners_kernel4, Lc=Lc, S=S, hw=hw, depth_band=depth_band),
@@ -541,11 +573,11 @@ def raster_images_pallas4(
             pltpu.VMEM((2, 16, Lc), jnp.int32),
             pltpu.VMEM((2, 8, Lc), jnp.int32),
             pltpu.VMEM((TS, TS), jnp.bfloat16),
-            pltpu.VMEM((8, L + 256), jnp.int32),
+            pltpu.VMEM((2, 8, L + 256), jnp.int32),
             pltpu.SMEM((18,), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -554,6 +586,23 @@ def raster_images_pallas4(
     # winner count + per-part window starts for the expansion (sub-chunk
     # starts are found in-kernel; only PB scalars ride SMEM prefetch)
     total = jnp.sum((sp.is_head & sp.ok).astype(jnp.int32))
+    return expand_winners(wimg, total, hw, PL=PL, SE=SE, interpret=interpret)
+
+
+def expand_winners(
+    wimg: jax.Array,
+    total: jax.Array,
+    hw: int,
+    *,
+    PL: int = 16384,
+    SE: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Expansion stage shared by the v4/v5 winner kernels: scatter the
+    compacted, pixel-sorted winner stream ``wimg`` (8, out_w) — rows
+    r,g,b,count,zbits,pix by winner rank, ``total`` winners — to the dense
+    (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) images."""
+    out_w = wimg.shape[1]
     PB = -(-hw // PL)
     lanes = jnp.arange(out_w, dtype=jnp.int32)
     wpix_clean = jnp.where(lanes < total, wimg[5], jnp.int32(hw))
@@ -568,11 +617,12 @@ def raster_images_pallas4(
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((8, PL + SE + 256), jnp.int32),
-                pltpu.VMEM((8, PL), jnp.int32),
-                pltpu.SMEM((2,), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, 8, PL + SE + 384), jnp.int32),
+                pltpu.VMEM((8, PL + SE + 384), jnp.int32),
+                pltpu.VMEM((2, 8, PL), jnp.int32),
+                pltpu.SMEM((3,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((8, PB * PL), jnp.int32),

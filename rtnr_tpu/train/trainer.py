@@ -121,3 +121,101 @@ def make_train_step(
         return new_state, {"loss": loss_val, "grad_norm": gnorm}
 
     return jax.jit(step_fn)
+
+
+@struct.dataclass
+class SceneTrainState:
+    """Joint U-Net + scene fine-tune state (colors sharded over the points
+    axis, poses replicated)."""
+
+    params: Any
+    batch_stats: Any
+    colors: Any  # (N, 3) float32, 0..255 scale
+    cam_projs: Any  # (F, 4, 4) float32
+    opt_state: Any
+    step: int = 0
+
+
+def make_scene_train_step(
+    unet: UNet,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    depth_band: float = 0.02,
+    levels: int = 4,
+    filter_strength: float = 1.025,
+    gradient_filter: float = 0.03,
+    points_axis: str = "points",
+    batch_axis: str = "batch",
+    loss_fn: Callable = l1_loss,
+) -> Callable:
+    """Sharded scene-finetune step: gradients flow through the MULTI-CHIP
+    differentiable raster (parallel/diff.py) into point colors and camera
+    poses as well as U-Net parameters — the full BASELINE config-4 shape on
+    a mesh. Color cotangents land on the owning point shard; pose cotangents
+    psum over the points axis inside the raster's custom VJP; U-Net grads
+    psum over the batch axis via the mean loss (reference analog: none —
+    the reference is inference-only, project_cloud.cu:473).
+
+    step(state, points, valid, targets (F,H,W,3) in [0,1]) ->
+    (state, metrics).
+    """
+    from rtnr_tpu.ops.prefilter import depth_prefilter
+    from rtnr_tpu.parallel.diff import rasterize_diff_sharded_batch
+    from rtnr_tpu.pipeline import pad_to_pyramid
+
+    def step_fn(state: SceneTrainState, points, valid, targets):
+        def loss(leaves):
+            params, colors, cams = leaves
+            out = rasterize_diff_sharded_batch(
+                points, colors, cams, mesh,
+                width=width, height=height, valid=valid,
+                depth_band=depth_band, points_axis=points_axis,
+                batch_axis=batch_axis,
+            )
+
+            def one(d, c):
+                dpad, cpad = pad_to_pyramid(d, c, levels)
+                pf = depth_prefilter(
+                    dpad, cpad, levels=levels,
+                    filter_strength=filter_strength,
+                    gradient_filter=gradient_filter,
+                )
+                return pf["unet_input"]
+
+            x = jax.vmap(one)(out.depth, out.rgb)
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(batch_axis))
+            )
+            y, mutated = unet.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            y = y.astype(jnp.float32)[:, :height, :width]
+            return loss_fn(y, targets), mutated["batch_stats"]
+
+        leaves = (state.params, state.colors, state.cam_projs)
+        (loss_val, new_stats), grads = jax.value_and_grad(loss, has_aux=True)(leaves)
+        updates, new_opt = tx.update(grads, state.opt_state, leaves)
+        new_params, new_colors, new_cams = optax.apply_updates(leaves, updates)
+        new_state = SceneTrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            colors=new_colors,
+            cam_projs=new_cams,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss_val,
+            "grad_norm": optax.global_norm(grads),
+            "color_grad_norm": optax.global_norm(grads[1]),
+            "pose_grad_norm": optax.global_norm(grads[2]),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn)

@@ -151,3 +151,30 @@ def test_convt_phase_interpret(P_in):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+@pytest.mark.parametrize("P_in", [1, 2])
+def test_conv_phase_fused_up_bitexact(P_in):
+    """Fused-ConvTranspose conv0 == standalone convt2x2_phase followed by
+    the unfused two-input conv, bit-exact (same matmuls + bf16 roundings)."""
+    N, Hh, Wh, Cd, F = 1, 4, 16, 16, 8
+    H, W, P = 2 * Hh, 2 * Wh, 2 * P_in
+    deep = mk((N, Hh, Wh, Cd), 21).astype(jnp.bfloat16)
+    skip = mk((N, H, W, F), 22).astype(jnp.bfloat16)
+    kt = mk((2, 2, Cd, F), 23, 0.3)
+    bt = mk((F,), 24)
+    kernel = mk((3, 3, 2 * F, F), 25, 0.2)
+    b = mk((F,), 26)
+
+    deep_p = to_phase(deep, P_in)
+    skip_p = to_phase(skip, P)
+    up_p = convt2x2_phase(deep_p, kt, bt, h=H, w=W, P=P_in,
+                          rows_per_step=2, interpret=True)
+    (want,) = conv3x3_phase([skip_p, up_p], kernel, b, h=H, w=W, P=P,
+                            relu=True, rows_per_step=2, interpret=True)
+    (got,) = conv3x3_phase([skip_p, deep_p], kernel, b,
+                           up_kernel=kt, up_bias=bt, h=H, w=W, P=P,
+                           relu=True, rows_per_step=2, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
