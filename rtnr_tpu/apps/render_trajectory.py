@@ -45,11 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiles", type=int, default=0,
                    help="shard the image into N row strips over an N-device "
                         "mesh with per-strip block-grid candidate gather "
-                        "(projection stage only)")
+                        "(projection or full stage)")
     p.add_argument("--cull-budget", type=int, default=0,
                    help="enable block-grid frustum culling with this many "
                         "point slots (0 = off); compaction is cached across "
                         "nearby frames")
+    p.add_argument("--levels", type=int, default=4,
+                   help="depth-prefilter pyramid levels (reference "
+                        "depthRescaleDepth)")
     p.add_argument("--features", type=int, nargs="+", default=[64, 128, 256, 512],
                    help="U-Net feature widths (must match the checkpoint)")
     p.add_argument("--timings", action="store_true",
@@ -101,7 +104,8 @@ def main(argv=None) -> int:
             return 1
         variables = load_unet_variables(args.ckpt)
 
-    config = RenderConfig(stage_timing=args.timings, unet_features=tuple(args.features))
+    config = RenderConfig(stage_timing=args.timings, unet_features=tuple(args.features),
+                          pyramid_levels=args.levels)
     renderer = Renderer(scene, config=config, unet_variables=variables,
                         cull_budget=args.cull_budget or None)
 
@@ -122,27 +126,61 @@ def main(argv=None) -> int:
 
     t_start = time.perf_counter()
     if args.tiles > 1:
-        if args.stage != "project":
-            print("--tiles supports --stage project only", file=sys.stderr)
-            return 1
-        from rtnr_tpu.ops.culling import build_block_index
         from rtnr_tpu.parallel import make_mesh
-        from rtnr_tpu.parallel.tiles import rasterize_tile_sharded
 
-        mesh = make_mesh((args.tiles,), ("tiles",))
-        index = build_block_index(scene, pad_to_multiple=1024)
+        mesh = make_mesh((args.tiles,), ("tiles",),
+                         devices=jax.devices()[: args.tiles])
         pts, cols, validm = renderer.points, renderer.colors, renderer.valid
-        for i in range(len(trajectory)):
-            M = jnp.asarray(camera.cam_proj(trajectory.world_to_cam(i)), jnp.float32)
-            rgb, depth, cand = rasterize_tile_sharded(
-                pts, cols, validm, M, mesh, width=camera.width, height=camera.height,
-                block_index=index,
-            )
-            write_png(outdir / frame_name(i), np.asarray(rgb))
-            if args.depth:
-                write_depth(frame_name(i), np.asarray(depth))
-            print(f"[{i + 1}/{len(trajectory)}] {frame_name(i)}  "
-                  f"strip candidates: {np.asarray(cand).tolist()}")
+        if args.stage == "project":
+            from rtnr_tpu.ops.culling import build_block_index
+            from rtnr_tpu.parallel.tiles import rasterize_tile_sharded
+
+            index = build_block_index(scene, pad_to_multiple=1024)
+            for i in range(len(trajectory)):
+                M = jnp.asarray(camera.cam_proj(trajectory.world_to_cam(i)), jnp.float32)
+                rgb, depth, cand = rasterize_tile_sharded(
+                    pts, cols, validm, M, mesh, width=camera.width, height=camera.height,
+                    block_index=index,
+                )
+                write_png(outdir / frame_name(i), np.asarray(rgb))
+                if args.depth:
+                    write_depth(frame_name(i), np.asarray(depth))
+                print(f"[{i + 1}/{len(trajectory)}] {frame_name(i)}  "
+                      f"strip candidates: {np.asarray(cand).tolist()}")
+        elif args.stage == "full":
+            # whole-pipeline tile sharding: per-strip raster + halo-exchange
+            # prefilter (bit-exact) + overlap-and-discard U-Net strips
+            from rtnr_tpu.parallel.tiles import render_full_tile_sharded
+            from rtnr_tpu.pipeline import pyramid_pad_shape
+
+            levels = config.pyramid_levels
+            hp, wp = pyramid_pad_shape(camera.height, camera.width, levels)
+            lv = 1 << levels
+            strip_lv = args.tiles * lv
+            hp = -(-hp // strip_lv) * strip_lv  # strip-aligned pyramid pad
+            strip_h = hp // args.tiles
+            pollution = sum(2 ** (l + 1) for l in range(1, levels + 1))
+            uh = min(32 - 32 % lv if lv <= 32 else 0, strip_h)
+            halo = min(-(-(pollution + uh) // lv) * lv, strip_h)
+            uh = max(min(uh, halo - pollution), 0)
+            for i in range(len(trajectory)):
+                M = jnp.asarray(camera.cam_proj(trajectory.world_to_cam(i)), jnp.float32)
+                out = render_full_tile_sharded(
+                    pts, cols, validm, M, mesh, renderer.unet, variables,
+                    width=camera.width, height=hp, levels=levels, halo=halo,
+                    unet_halo=uh,
+                )
+                rgb = np.asarray(out["rgb_unet"])[: camera.height, : camera.width]
+                write_png(outdir / frame_name(i), rgb)
+                if args.depth:
+                    write_depth(
+                        frame_name(i),
+                        np.asarray(out["raw_depth"])[: camera.height, : camera.width],
+                    )
+                print(f"[{i + 1}/{len(trajectory)}] {frame_name(i)} (tiles={args.tiles})")
+        else:
+            print("--tiles supports --stage project or full", file=sys.stderr)
+            return 1
         total = time.perf_counter() - t_start
         print(json.dumps({"frames": len(trajectory), "seconds": round(total, 3),
                           "fps": round(len(trajectory) / max(total, 1e-9), 2),

@@ -531,7 +531,13 @@ class UNet(nn.Module):
 
         from rtnr_tpu.ops.conv_phase import fuse_up_ok
 
-        no_fuse = _os.environ.get("RTNR_FUSE_UP") == "0"
+        # fused ConvTranspose+conv0 measured SLOWER on v5e than the
+        # standalone convT kernel (full-res level: 4.89/4.95 ms fused at
+        # TR=2/4 vs 4.74 unfused; whole net 23.10 vs 22.85 ms) — the
+        # separate kernel's HBM round trip overlaps with compute, while the
+        # fused form serializes the convT work into the conv's row loop.
+        # Kept as a measured foil: RTNR_FUSE_UP=1 enables it.
+        no_fuse = _os.environ.get("RTNR_FUSE_UP") != "1"
         for i, f in enumerate(reversed(self.features)):
             kup, bup = ConvParams((2, 2, cc, f), name=f"up{i}")()
             hs, ws = hs * 2, ws * 2

@@ -42,7 +42,7 @@ Exact-arithmetic notes (deliberately mirrored, all float32):
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,12 +70,20 @@ def min_pool2(x: jax.Array) -> jax.Array:
     return x[: h // 2 * 2, : w // 2 * 2].reshape(h // 2, 2, w // 2, 2).min(axis=(1, 3))
 
 
-def laplacian_edge_mask(x: jax.Array, gradient_filter: float) -> jax.Array:
+def laplacian_edge_mask(
+    x: jax.Array, gradient_filter: float, g0=None, h_tot: int = 0
+) -> jax.Array:
     """Binary edge mask: ordered 9-term Laplacian > threshold; borders False.
 
     Keeps the reference's sequential float32 accumulation (including the
     zero-weight taps) so saturated values overflow/NaN identically
     (project_cloud.cu:66-77).
+
+    ``g0``/``h_tot`` (strip mode, parallel/tiles.py): ``x`` is a
+    halo-extended row strip of a ``h_tot``-row image whose local row 0 sits
+    at global row ``g0`` (a traced scalar, possibly negative); the
+    border-row mask then tests GLOBAL row coordinates so a strip computes
+    exactly what the full image would at its rows.
     """
     h, w = x.shape
     s = jnp.zeros_like(x)
@@ -85,15 +93,25 @@ def laplacian_edge_mask(x: jax.Array, gradient_filter: float) -> jax.Array:
     mask = s > jnp.float32(gradient_filter)
     row = jnp.arange(h)[:, None]
     col = jnp.arange(w)[None, :]
-    interior = (row > 0) & (row < h - 1) & (col > 0) & (col < w - 1)
+    if g0 is None:
+        row_int = (row > 0) & (row < h - 1)
+    else:
+        grow = row + g0
+        row_int = (grow > 0) & (grow < h_tot - 1)
+    interior = row_int & (col > 0) & (col < w - 1)
     return mask & interior
 
 
 def compare_levels(
-    low: jax.Array, high: jax.Array, grad_mask: jax.Array, filter_strength: float
+    low: jax.Array, high: jax.Array, grad_mask: jax.Array,
+    filter_strength: float, g0=None, h_tot: int = 0,
 ) -> jax.Array:
     """Keep-mask for the fine level (reference compareImgsKernel,
-    project_cloud.cu:88-126). True = pixel survives."""
+    project_cloud.cu:88-126). True = pixel survives.
+
+    ``g0``/``h_tot``: strip mode (see laplacian_edge_mask) — coarse
+    neighbor reads beyond the GLOBAL image rows are -1.0 even where the
+    strip has (halo) data locally."""
     fs = jnp.float32(filter_strength)
     empty = high >= jnp.float32(DEPTH_EMPTY_THRESHOLD)
 
@@ -110,10 +128,14 @@ def compare_levels(
     # monotone and fs*max is the same float as the max of the products for
     # the selected element), so the neighborhood reduction runs at COARSE
     # resolution — one fine-res compare instead of nine.
+    row = jnp.arange(lh)[:, None]
     nbmax = jnp.full(low.shape, np.float32(-1.0))
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             nb = low_pad[1 + dy : 1 + dy + lh, 1 + dx : 1 + dx + lw]
+            if g0 is not None and dy != 0:
+                gnb = row + g0 + dy
+                nb = jnp.where((gnb >= 0) & (gnb < h_tot), nb, np.float32(-1.0))
             nbmax = jnp.maximum(nbmax, nb)
     cv = high
     threshold = jnp.where(grad_mask, nbmax, low) * fs
@@ -121,7 +143,9 @@ def compare_levels(
     return ~empty & keep
 
 
-def bilinear_up2(low: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:
+def bilinear_up2(
+    low: jax.Array, out_shape: Tuple[int, int], g0=None, h_tot: int = 0
+) -> jax.Array:
     """Exact replica of the reference resizeKernel interpolation
     (project_cloud.cu:136-160): half-pixel centers, indices clamped, weights
     against the clamped lower index (border extrapolation included).
@@ -145,7 +169,16 @@ def bilinear_up2(low: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:
         x0c = np.clip(np.floor(inx).astype(np.int64), 0, l - 1)
         return (inx - x0c).astype(np.float32)
 
-    wy = jnp.asarray(axis_w(oh, lh))[:, None]
+    if g0 is None:
+        wy = jnp.asarray(axis_w(oh, lh))[:, None]
+    else:
+        # global fine-row weights: the alternating 0.25/0.75 pattern is
+        # parity-preserving (strip offsets are even multiples), only the
+        # global row 0 extrapolates with weight -0.25; the bottom border is
+        # handled by the clamped shifts, not the weights
+        base = np.where(np.arange(oh) % 2 == 0, 0.75, 0.25).astype(np.float32)
+        gy = jnp.arange(oh) + 2 * g0
+        wy = jnp.where(gy == 0, np.float32(-0.25), jnp.asarray(base))[:, None]
     wx = jnp.asarray(axis_w(ow, lw))[None, :]
 
     A = jnp.repeat(jnp.repeat(low, 2, axis=0), 2, axis=1)
@@ -153,6 +186,15 @@ def bilinear_up2(low: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:
     up = lambda M: jnp.concatenate([M[1:], M[-1:]], axis=0)  # row y -> y+1, clamped
     lf = lambda M: jnp.concatenate([M[:, :1], M[:, :-1]], axis=1)
     rt = lambda M: jnp.concatenate([M[:, 1:], M[:, -1:]], axis=1)
+    if g0 is not None:
+        # row clamps must happen at the GLOBAL image borders (full-image
+        # reads row max(y-1,0) / min(y+1,oh_tot-1)); interior strips have
+        # the true neighbor rows in their halo
+        gyc = (jnp.arange(oh) + 2 * g0)[:, None]
+        oh_tot = 2 * h_tot
+        dn_l, up_l = dn, up
+        dn = lambda M: jnp.where(gyc == 0, M, dn_l(M))
+        up = lambda M: jnp.where(gyc == oh_tot - 1, M, up_l(M))
 
     l00 = dn(lf(A))
     l01 = dn(rt(A))
@@ -163,7 +205,7 @@ def bilinear_up2(low: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:
     return (1.0 - wy) * v0 + wy * v1
 
 
-@functools.partial(jax.jit, static_argnames=("levels",))
+@functools.partial(jax.jit, static_argnames=("levels", "total_h"))
 def depth_prefilter(
     depth: jax.Array,
     rgb: jax.Array,
@@ -171,6 +213,9 @@ def depth_prefilter(
     levels: int = 4,
     filter_strength: float = 1.025,
     gradient_filter: float = 0.03,
+    row_offset=None,
+    total_h: int = 0,
+    minmax: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Dict[str, jax.Array]:
     """Full coarse-to-fine prefilter + packing.
 
@@ -184,6 +229,16 @@ def depth_prefilter(
       filtered_rgb:   (H, W, 3) uint8 (0 at rejected pixels)
       mask:           (H, W) bool keep-mask
       depth_min/max:  global scalars used for normalization
+
+    Strip mode (``row_offset``/``total_h``, used by parallel/tiles.py):
+    ``depth`` is a halo-extended row strip of a ``total_h``-row image whose
+    local row 0 sits at global row ``row_offset`` (traced scalar, negative
+    for the first strip's fake top halo; must be a multiple of 2**levels so
+    pyramid cells align). All border-dependent decisions (Laplacian border
+    rows, out-of-image coarse reads, bilinear clamps/weights) then follow
+    GLOBAL row coordinates, so a strip's rows away from the extension
+    borders are bit-identical to the full-image computation. ``minmax``
+    supplies the global (dmin, dmax) (a cross-strip reduction).
     """
     h, w = depth.shape
     assert h % (1 << levels) == 0 and w % (1 << levels) == 0, (
@@ -196,15 +251,25 @@ def depth_prefilter(
     for _ in range(levels):
         pyr.append(min_pool2(pyr[-1]))
 
+    def level_off(i: int):
+        if row_offset is None:
+            return None
+        # arithmetic shift: exact for negative offsets divisible by 2**i
+        return jnp.asarray(row_offset, jnp.int32) >> i
+
     mask_fine = None
     for i in range(levels, 0, -1):
-        grad = laplacian_edge_mask(pyr[i], gradient_filter)
-        mask_fine = compare_levels(pyr[i], pyr[i - 1], grad, filter_strength)
+        g0 = level_off(i)
+        h_l = total_h >> i
+        grad = laplacian_edge_mask(pyr[i], gradient_filter, g0, h_l)
+        mask_fine = compare_levels(
+            pyr[i], pyr[i - 1], grad, filter_strength, g0, h_l
+        )
         if i > 1:
-            filled = bilinear_up2(pyr[i], pyr[i - 1].shape)
+            filled = bilinear_up2(pyr[i], pyr[i - 1].shape, g0, h_l)
             pyr[i - 1] = jnp.where(mask_fine, pyr[i - 1], filled)
 
-    dmin, dmax = depth_min_max(depth)
+    dmin, dmax = depth_min_max(depth) if minmax is None else minmax
 
     keep = mask_fine
     rgb_f = rgb.astype(jnp.float32)

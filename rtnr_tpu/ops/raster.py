@@ -474,6 +474,23 @@ def rasterize_packed(
     """As ``rasterize`` but returns rgb packed r|g<<8|b<<16 as (H, W) i32 —
     the phase prefilter consumes the packed form directly, skipping an
     unpack/repack round trip over the frame."""
+    import os
+
+    hw = width * height
+    resolve = os.environ.get("RTNR_RESOLVE", "v4")
+    on_tpu = jax.default_backend() == "tpu"
+    big = points.shape[0] + hw >= (1 << 17)
+    if on_tpu and big and resolve == "v4":
+        # fused in-kernel resolve: the expansion emits packed rgb + depth
+        # directly, skipping ~1.9 ms of dense-image XLA glue (hlo_stats r3)
+        from rtnr_tpu.ops.raster_pallas4 import raster_images_pallas4
+
+        sp = project_and_sort(points, colors, cam_proj, width=width,
+                              height=height, valid=valid, carriers=False)
+        packed, depth_img = raster_images_pallas4(
+            sp, hw, depth_band, packed_out=True
+        )
+        return packed.reshape(height, width), depth_img.reshape(height, width)
     sum_img, cnt_img, depth_img = _raster_sums(
         points, colors, cam_proj, width=width, height=height, valid=valid,
         depth_band=depth_band,

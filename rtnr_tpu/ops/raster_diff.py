@@ -180,7 +180,20 @@ def camera_pose_gradients(
 def _diff_core_fwd_arrays(
     points, colors, cam_proj, valid, *, width, height, depth_band
 ):
-    """Shared forward: returns (sums, cnt, depth) images + residuals."""
+    """Shared forward: returns (sums, cnt, depth) images + residuals.
+
+    Round-3 cost cuts vs the original formulation (each a full pass over
+    the ~7M-element stream saved, same math):
+    - ``real`` derives from the idx lane (carriers carry idx == n) instead
+      of riding the sort as its own operand (7 -> 6 sorted lanes);
+    - the winner is simply each pixel's CARRIER (FLT_MAX depth sorts last
+      in its segment), so no band-end/next-in logic gates the placement;
+    - per-pixel banded sums come from DENSE adjacent diffs after the
+      placement sort (carriers make winners dense: pixel p's winner lands
+      at row p), deleting the 4-lane pre-head prefix broadcast entirely —
+      the same csum-diff trick as the production kernels
+      (ops/raster_pallas4.py).
+    """
     n = points.shape[0]
     hw = width * height
     M = cam_proj.astype(jnp.float32)
@@ -199,52 +212,99 @@ def _diff_core_fwd_arrays(
     r_all = jnp.concatenate([cf[:, 0], jnp.zeros((hw,), jnp.float32)])
     g_all = jnp.concatenate([cf[:, 1], jnp.zeros((hw,), jnp.float32)])
     b_all = jnp.concatenate([cf[:, 2], jnp.zeros((hw,), jnp.float32)])
-    real_all = jnp.concatenate(
-        [jnp.ones((n,), jnp.float32), jnp.zeros((hw,), jnp.float32)]
-    )
     idx_all = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32), jnp.full((hw,), n, jnp.int32)]
     )
 
-    pix_s, zb_s, r_s, g_s, b_s, real_s, idx_s = jax.lax.sort(
-        (pix_all, zb_all, r_all, g_all, b_all, real_all, idx_all), num_keys=2,
+    pix_s, zb_s, r_s, g_s, b_s, idx_s = jax.lax.sort(
+        (pix_all, zb_all, r_all, g_all, b_all, idx_all), num_keys=2,
         is_stable=False,
     )
     m = pix_s.shape[0]
+    real_s = idx_s < n
     z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
     ok_s = pix_s < hw
     is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
-    is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
     head_pos = jax.lax.cummax(
         jnp.where(is_head, jnp.arange(m, dtype=jnp.int32), jnp.int32(0))
     )
 
-    z_head = segment_broadcast_head(z_s, is_head, head_pos)
+    zb_head = segment_broadcast_head(zb_s, is_head, head_pos)
+    z_head = jax.lax.bitcast_convert_type(zb_head, jnp.float32)
     in_band = ok_s & ~(z_s > z_head + jnp.float32(depth_band))
-    next_in = jnp.concatenate([in_band[1:], jnp.array([False])])
-    band_end = in_band & (is_last | ~next_in)
 
-    w_s = jnp.where(in_band & (real_s > 0), jnp.float32(1.0), 0.0)
+    w_s = jnp.where(in_band & real_s, jnp.float32(1.0), 0.0)
     contrib4 = jnp.stack([r_s * w_s, g_s * w_s, b_s * w_s, w_s], axis=1)
     csum4 = jnp.cumsum(contrib4, axis=0)
-    prev4 = jnp.concatenate([jnp.zeros((1, 4), jnp.float32), csum4[:-1]], axis=0)
-    head_prev4 = segment_broadcast_head(prev4, is_head, head_pos)
-    sums4 = csum4 - head_prev4
 
-    zb_head = segment_broadcast_head(zb_s, is_head, head_pos)
-    key = jnp.where(band_end, pix_s, jnp.int32(hw))
+    # place INCLUSIVE csums at the carriers (exactly one per pixel, at its
+    # segment's end); dense adjacent diffs recover the per-pixel sums
+    key = jnp.where(~real_s & ok_s, pix_s, jnp.int32(hw))
     rr, gg, bb, cc, zz = place_rows_by_pixel(
-        key, (sums4[:, 0], sums4[:, 1], sums4[:, 2], sums4[:, 3], zb_head), hw
+        key, (csum4[:, 0], csum4[:, 1], csum4[:, 2], csum4[:, 3], zb_head), hw
     )
-    sums = jnp.stack([rr, gg, bb], axis=1)
+
+    def ddiff(x):
+        return x - jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
+
+    sums = jnp.stack([ddiff(rr), ddiff(gg), ddiff(bb)], axis=1)
     depth = jax.lax.bitcast_convert_type(zz, jnp.float32)
     residuals = (
         pix_s,
-        jnp.where(in_band & (real_s > 0), True, False),
-        is_head & (real_s > 0),
+        in_band & real_s,
+        is_head & real_s,
         idx_s,
     )
-    return (sums, cc, depth), residuals
+    return (sums, ddiff(cc), depth), residuals
+
+
+def bwd_gather_unsort(
+    g_sums: jax.Array,
+    g_depth: jax.Array,
+    pix_s: jax.Array,
+    band_s: jax.Array,
+    head_s: jax.Array,
+    idx_s: jax.Array,
+    hw: int,
+    n: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused backward data movement: ONE interleave sort carries the four
+    cotangent images to the sorted stream AND the point indices/flags, and
+    ONE placement sort lands masked cotangents directly in ORIGINAL point
+    order — replacing gather_images_sorted + a separate un-permutation sort
+    (saves a full (n+hw)-element 5-lane sort per backward).
+
+    Returns (g_colors (n,3), gz (n,)).
+    """
+    m = pix_s.shape[0]
+    big = jnp.int32(m + hw)
+    keys1 = jnp.concatenate([jnp.arange(hw, dtype=jnp.int32), pix_s])
+    keys2 = jnp.concatenate([jnp.zeros((hw,), jnp.int32), jnp.ones((m,), jnp.int32)])
+    zm = jnp.zeros((m,), jnp.float32)
+    vr = jnp.concatenate([g_sums[:, 0], zm])
+    vg = jnp.concatenate([g_sums[:, 1], zm])
+    vb = jnp.concatenate([g_sums[:, 2], zm])
+    vz = jnp.concatenate([g_depth, zm])
+    flags = jnp.concatenate(
+        [jnp.zeros((hw,), jnp.int32),
+         band_s.astype(jnp.int32) | (head_s.astype(jnp.int32) << 1)]
+    )
+    rank = jnp.concatenate(
+        [jnp.full((hw,), big, jnp.int32), jnp.where(idx_s < n, idx_s, big)]
+    )
+    k1, _k2, sr, sg, sb, sz, fl, rk = jax.lax.sort(
+        (keys1, keys2, vr, vg, vb, vz, flags, rank), num_keys=2, is_stable=False
+    )
+    is_head2 = k1 != _shift_right(k1, jnp.int32(-1))  # carriers sort first
+    vals = segment_broadcast_head(jnp.stack([sr, sg, sb, sz], axis=1), is_head2)
+    wf = (fl & 1).astype(jnp.float32)
+    hf = ((fl >> 1) & 1).astype(jnp.float32)
+    _, cr, cg, cb, cz = jax.lax.sort(
+        (rk, vals[:, 0] * wf, vals[:, 1] * wf, vals[:, 2] * wf, vals[:, 3] * hf),
+        num_keys=1, is_stable=False,
+    )
+    g_colors = jnp.stack([cr[:n], cg[:n], cb[:n]], axis=1)
+    return g_colors, cz[:n]
 
 
 def rasterize_diff_sorted(
@@ -284,24 +344,11 @@ def rasterize_diff_sorted(
     def core_bwd(res, cts):
         (pix_s, band_real_s, head_real_s, idx_s), pts, M = res
         g_sums, _g_cnt, g_depth = cts
-        # (1) one merged gather of the 4 gradient images at sorted ids
-        gr, gg, gb, gz_img = gather_images_sorted(
-            (g_sums[:, 0], g_sums[:, 1], g_sums[:, 2], g_depth), pix_s, hw
+        # one fused interleave-gather + unsort (see bwd_gather_unsort)
+        g_colors, gz = bwd_gather_unsort(
+            g_sums, g_depth, pix_s, band_real_s, head_real_s, idx_s, hw, n
         )
-        wf = band_real_s.astype(jnp.float32)
-        hf = head_real_s.astype(jnp.float32)
-        gcol_r = gr * wf
-        gcol_g = gg * wf
-        gcol_b = gb * wf
-        gz_s = gz_img * hf
-        # (2) un-permute to original point order (carriers carry idx = n and
-        # fall off the slice)
-        _, cr, cg, cb, cz = jax.lax.sort(
-            (idx_s, gcol_r, gcol_g, gcol_b, gz_s), num_keys=1, is_stable=False
-        )
-        g_colors = jnp.stack([cr[:n], cg[:n], cb[:n]], axis=1)
-        gz = cz[:n]
-        # (3) chain depth cotangent through z = p . M[2,:3] + M[2,3]
+        # chain depth cotangent through z = p . M[2,:3] + M[2,3]
         g_points = gz[:, None] * M[2, :3][None, :]
         g_M = jnp.zeros((4, 4), jnp.float32).at[2, :3].set(gz @ pts).at[2, 3].set(
             jnp.sum(gz)

@@ -383,6 +383,7 @@ def _expand_kernel4(
     PL: int,
     SE: int,
     hw: int,
+    packed_out: bool = False,
 ):
     p = pl.program_id(0)
     PB = pl.num_programs(0)
@@ -488,9 +489,25 @@ def _expand_kernel4(
         # empty pixels: count==0 -> depth = FLT_MAX bits (reference seed,
         # project_cloud.cu:316); color sums stay 0
         depth = jnp.where(out_rows[3] > 0, out_rows[4], _I32(_FLT_MAX_BITS))
-        out8 = jnp.concatenate(
-            out_rows[:4] + [depth, jnp.zeros((3, SE), _I32)], axis=0
-        )
+        if packed_out:
+            # fused resolve: integer-average (reference render.cu:160-162,
+            # floor division of non-negative sums) packed r|g<<8|b<<16 —
+            # skips the XLA stack/or/compare glue over the dense image
+            # (~1.9 ms of T(1,128)-layout fusions at 1080p, hlo_stats r3)
+            cnt = out_rows[3]
+            cpos = jnp.maximum(cnt, 1)
+            pk = jnp.where(
+                cnt > 0,
+                (out_rows[0] // cpos)
+                | ((out_rows[1] // cpos) << 8)
+                | ((out_rows[2] // cpos) << 16),
+                0,
+            )
+            out8 = jnp.concatenate([pk, depth, jnp.zeros((6, SE), _I32)], axis=0)
+        else:
+            out8 = jnp.concatenate(
+                out_rows[:4] + [depth, jnp.zeros((3, SE), _I32)], axis=0
+            )
         out_v[slot, :, j * SE : (j + 1) * SE] = out8
 
     # double-buffered store: drains during the next part's compute
@@ -520,11 +537,14 @@ def raster_images_pallas4(
     sub_chunk: int = 2048,  # v5e sweep (scripts/profile_resolve4.py)
     expand_part: int = 16384,
     expand_sub: int = 1024,
+    packed_out: bool = False,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     """Dense (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) from a
     CARRIER-FREE (pixel, depth)-sorted point stream (ops/raster.py
-    ``project_and_sort(..., carriers=False)``)."""
+    ``project_and_sort(..., carriers=False)``). With ``packed_out`` the
+    integer-average resolve runs inside the expansion kernel and the return
+    is (packed rgb r|g<<8|b<<16 (HW,) i32, depth (HW,) f32)."""
     m = sp.pix.shape[0]
     L = part_size
     assert L % 8 == 0
@@ -586,7 +606,8 @@ def raster_images_pallas4(
     # winner count + per-part window starts for the expansion (sub-chunk
     # starts are found in-kernel; only PB scalars ride SMEM prefetch)
     total = jnp.sum((sp.is_head & sp.ok).astype(jnp.int32))
-    return expand_winners(wimg, total, hw, PL=PL, SE=SE, interpret=interpret)
+    return expand_winners(wimg, total, hw, PL=PL, SE=SE,
+                          packed_out=packed_out, interpret=interpret)
 
 
 def expand_winners(
@@ -596,8 +617,9 @@ def expand_winners(
     *,
     PL: int = 16384,
     SE: int = 1024,
+    packed_out: bool = False,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     """Expansion stage shared by the v4/v5 winner kernels: scatter the
     compacted, pixel-sorted winner stream ``wimg`` (8, out_w) — rows
     r,g,b,count,zbits,pix by winner rank, ``total`` winners — to the dense
@@ -610,7 +632,8 @@ def expand_winners(
     starts = jnp.searchsorted(wpix_clean, targets, side="left").astype(jnp.int32)
 
     img = pl.pallas_call(
-        functools.partial(_expand_kernel4, PL=PL, SE=SE, hw=hw),
+        functools.partial(_expand_kernel4, PL=PL, SE=SE, hw=hw,
+                          packed_out=packed_out),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(PB,),
@@ -631,6 +654,10 @@ def expand_winners(
     )(starts, total.reshape(1), wimg)
 
     img = img[:, :hw]
+    if packed_out:
+        packed = img[0]
+        depth = jax.lax.bitcast_convert_type(img[1], jnp.float32)
+        return packed, depth
     sums = jnp.stack([img[0], img[1], img[2]], axis=1)
     count = img[3]
     depth = jax.lax.bitcast_convert_type(img[4], jnp.float32)

@@ -72,14 +72,13 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
     )
     cf = cols.astype(jnp.float32)
     zeros_hw = jnp.zeros((hw,), jnp.float32)
-    pix_s, zb_s, r_s, g_s, b_s, real_s, idx_s = jax.lax.sort(
+    pix_s, zb_s, r_s, g_s, b_s, idx_s = jax.lax.sort(
         (
             jnp.concatenate([pix, carrier_pix]),
             jnp.concatenate([zb, carrier_zb]),
             jnp.concatenate([cf[:, 0], zeros_hw]),
             jnp.concatenate([cf[:, 1], zeros_hw]),
             jnp.concatenate([cf[:, 2], zeros_hw]),
-            jnp.concatenate([jnp.ones((n,), jnp.float32), zeros_hw]),
             jnp.concatenate(
                 [jnp.arange(n, dtype=jnp.int32), jnp.full((hw,), n, jnp.int32)]
             ),
@@ -87,14 +86,10 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
         num_keys=2,
         is_stable=False,
     )
-    m = pix_s.shape[0]
+    real_s = idx_s < n  # carriers carry idx == n (one sort lane saved)
     z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
     ok_s = pix_s < hw
     is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
-    is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
-    head_pos = jax.lax.cummax(
-        jnp.where(is_head, jnp.arange(m, dtype=jnp.int32), jnp.int32(0))
-    )
 
     # local z-buffer → global min (the reference's two-pass structure: the
     # band is evaluated against the FINAL z-buffer, render.cu:101-106)
@@ -112,49 +107,42 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
     min_d_s, own_s = gather_images_sorted((global_min, own_px), pix_s, hw)
 
     in_band = ok_s & ~(z_s > min_d_s + jnp.float32(depth_band))
-    next_in = jnp.concatenate([in_band[1:], jnp.array([False])])
-    band_end = in_band & (is_last | ~next_in)
-    # exactly-one-winner fallback: if the whole local segment is out of the
-    # global band, the carrier (zero row) wins (see ops/raster.py
-    # accumulate_sums)
-    carrier = (real_s == 0.0) & ok_s
-    head_in_band = segment_broadcast_head(in_band, is_head, head_pos)
-    winner = band_end | (carrier & ~head_in_band)
 
-    w_s = jnp.where(in_band & (real_s > 0), jnp.float32(1.0), 0.0)
+    # inclusive csums placed at the CARRIERS (each pixel's local segment
+    # end) + dense adjacent diffs — the csum-diff trick of the production
+    # kernels; no band-end selection or pre-head broadcast needed
+    w_s = jnp.where(in_band & real_s, jnp.float32(1.0), 0.0)
     contrib4 = jnp.stack([r_s * w_s, g_s * w_s, b_s * w_s, w_s], axis=1)
     csum4 = jnp.cumsum(contrib4, axis=0)
-    prev4 = jnp.concatenate([jnp.zeros((1, 4), jnp.float32), csum4[:-1]], axis=0)
-    head_prev4 = segment_broadcast_head(prev4, is_head, head_pos)
-    sums4 = csum4 - head_prev4
 
-    key = jnp.where(winner, pix_s, jnp.int32(hw))
+    key = jnp.where(~real_s & ok_s, pix_s, jnp.int32(hw))
     rr, gg, bb, cc = place_rows_by_pixel(
-        key, (sums4[:, 0], sums4[:, 1], sums4[:, 2], sums4[:, 3]), hw
+        key, (csum4[:, 0], csum4[:, 1], csum4[:, 2], csum4[:, 3]), hw
     )
-    sums = jax.lax.psum(jnp.stack([rr, gg, bb], axis=1), axis)
-    cnt = jax.lax.psum(cc, axis)
 
-    band_real = in_band & (real_s > 0)
-    head_flag = is_head & (real_s > 0) & (own_s > 0)
+    def ddiff(x):
+        return x - jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
+
+    sums = jax.lax.psum(
+        jnp.stack([ddiff(rr), ddiff(gg), ddiff(bb)], axis=1), axis
+    )
+    cnt = jax.lax.psum(ddiff(cc), axis)
+
+    band_real = in_band & real_s
+    head_flag = is_head & real_s & (own_s > 0)
     return (sums, cnt, global_min), (pix_s, band_real, head_flag, idx_s)
 
 
 def _bwd_shard(pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth, *, hw, axis):
-    """Per-shard backward: gather cotangent images → mask → un-permute →
-    chain through the projection; camera partials psum over the mesh."""
+    """Per-shard backward: one fused interleave-gather + unsort
+    (ops/raster_diff.py bwd_gather_unsort) → chain through the projection;
+    camera partials psum over the mesh."""
+    from rtnr_tpu.ops.raster_diff import bwd_gather_unsort
+
     n = pts.shape[0]
-    gr, gg, gb, gz_img = gather_images_sorted(
-        (g_sums[:, 0], g_sums[:, 1], g_sums[:, 2], g_depth), pix_s, hw
+    g_colors, gz = bwd_gather_unsort(
+        g_sums, g_depth, pix_s, band_s, head_s, idx_s, hw, n
     )
-    wf = band_s.astype(jnp.float32)
-    hf = head_s.astype(jnp.float32)
-    _, cr, cg, cb, cz = jax.lax.sort(
-        (idx_s, gr * wf, gg * wf, gb * wf, gz_img * hf), num_keys=1,
-        is_stable=False,
-    )
-    g_colors = jnp.stack([cr[:n], cg[:n], cb[:n]], axis=1)
-    gz = cz[:n]
     # z = p · M[2,:3] + M[2,3]
     g_points = gz[:, None] * Mf[2, :3][None, :]
     g_M = jnp.zeros((4, 4), jnp.float32).at[2, :3].set(gz @ pts).at[2, 3].set(

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from rtnr_tpu.ops.prefilter import depth_prefilter
 from rtnr_tpu.ops.raster import (
     accumulate_sums,
     min_depth_image,
@@ -140,3 +141,172 @@ def rasterize_tile_sharded(
         depth_strips.reshape(height, width),
         cand,
     )
+
+
+def render_full_tile_sharded(
+    points: jax.Array,
+    colors: jax.Array,
+    valid: jax.Array,
+    cam_proj: jax.Array,
+    mesh: Mesh,
+    unet,
+    unet_variables,
+    *,
+    width: int,
+    height: int,  # must already be pyramid-padded AND divide into strips
+    depth_band: float = 0.02,
+    levels: int = 4,
+    filter_strength: float = 1.025,
+    gradient_filter: float = 0.03,
+    halo: int = 96,
+    unet_halo: int = 32,
+    tiles_axis: str = "tiles",
+    points_axis: Optional[str] = None,
+) -> Dict[str, jax.Array]:
+    """FULL pipeline (raster -> prefilter -> U-Net) with the image sharded
+    into row strips over ``tiles_axis`` (optionally x point shards).
+
+    - Raster: per-strip (exact; strips partition the image).
+    - Prefilter: each strip ``ppermute``s ``halo`` boundary rows of its
+      depth/rgb to its neighbors and runs the strip-mode prefilter
+      (ops/prefilter.py row_offset/total_h), which reproduces full-image
+      border semantics at global rows — core rows are BIT-exact vs the
+      single-device pipeline. ``halo`` must exceed the border-pollution
+      bound sum(2^(l+1), l=1..levels) (60 rows at levels=4) and keep
+      pyramid alignment (multiples of 2^levels).
+    - U-Net: per-strip apply on the core plus ``unet_halo`` overlap rows
+      (discarded after), so seams deviate only by the receptive-field tail
+      beyond ``unet_halo`` — allclose, not bit-exact (the documented
+      tile-sharded inference trade; exact strips would need the full ~140
+      row receptive field as overlap).
+
+    Constraints: height % (n_tiles * 2^levels) == 0, halo % 2^levels == 0,
+    unet_halo % 2^levels == 0, halo >= pollution bound + unet_halo.
+
+    Reference analog: the single-GPU full pipeline project_cloud.cu:437-493;
+    tiling is the SURVEY §2 output-tile scale-out axis applied to ALL three
+    stages instead of the raster alone.
+    """
+    n_tiles = mesh.shape[tiles_axis]
+    lv = 1 << levels
+    pad_w = -(-width // lv) * lv
+    assert height % (n_tiles * lv) == 0, (
+        f"height {height} must divide into {n_tiles} pyramid-aligned strips"
+    )
+    strip_h = height // n_tiles
+    assert halo % lv == 0 and unet_halo % lv == 0
+    pollution = sum(2 ** (l + 1) for l in range(1, levels + 1))
+    assert halo >= pollution + unet_halo, (
+        f"halo {halo} < pollution bound {pollution} + unet_halo {unet_halo}"
+    )
+    ext_h = strip_h + 2 * halo
+    assert ext_h % lv == 0
+    assert halo <= strip_h, (
+        f"halo {halo} > strip height {strip_h}: the one-hop ppermute "
+        "exchange cannot reach rows two strips away"
+    )
+
+    pts_spec = P(points_axis) if points_axis else P()
+
+    def body(pts, cols, val, M, uvars):
+        t = jax.lax.axis_index(tiles_axis)
+        Ms = strip_projection(M, t, strip_h)
+        hw = width * strip_h
+        sp = project_and_sort(pts, cols, Ms, width=width, height=strip_h,
+                              valid=val)
+        if points_axis is not None:
+            local_min = min_depth_image(sp, hw)
+            gmin = jax.lax.pmin(local_min, points_axis)
+            sums4 = jax.lax.psum(
+                accumulate_sums(sp, gmin, hw, depth_band), points_axis
+            )
+            depth = gmin
+        else:
+            from rtnr_tpu.ops.raster import raster_images
+
+            sums, cnt, depth = raster_images(sp, hw, depth_band)
+            sums4 = jnp.concatenate([sums, cnt[:, None]], axis=1)
+        rgb = resolve_uint8(sums4[:, :3], sums4[:, 3])
+        rgb = rgb.reshape(strip_h, width, 3)
+        depth = depth.reshape(strip_h, width)
+        if pad_w > width:
+            # pyramid column padding with empty pixels (pad_to_pyramid
+            # semantics): the raster ran at the TRUE width, so padded
+            # columns never receive real splats
+            from rtnr_tpu.config import DEPTH_EMPTY as _DE
+
+            depth = jnp.pad(depth, ((0, 0), (0, pad_w - width)),
+                            constant_values=_DE)
+            rgb = jnp.pad(rgb, ((0, 0), (0, pad_w - width), (0, 0)))
+
+        # ---- halo exchange over ICI: neighbors' boundary rows ----
+        def ring(x, shift):
+            # shift=+1: receive from t-1 (their data moves down the ring)
+            perm = [((i - shift) % n_tiles, i) for i in range(n_tiles)]
+            return jax.lax.ppermute(x, tiles_axis, perm)
+
+        top = ring(jnp.concatenate([depth[-halo:][None], 
+                                    rgb[-halo:].astype(jnp.float32).transpose(2, 0, 1)], 0), 1)
+        bot = ring(jnp.concatenate([depth[:halo][None],
+                                    rgb[:halo].astype(jnp.float32).transpose(2, 0, 1)], 0), -1)
+        from rtnr_tpu.config import DEPTH_EMPTY
+
+        # first/last strips: the ring wraps — overwrite the nonexistent
+        # outer halos with filler; strip-mode border masks guarantee those
+        # values are never consumed for global rows in [0, height)
+        top = jnp.where(t == 0, jnp.full_like(top, DEPTH_EMPTY), top)
+        bot = jnp.where(t == n_tiles - 1, jnp.full_like(bot, DEPTH_EMPTY), bot)
+        ext_depth = jnp.concatenate([top[0], depth, bot[0]], axis=0)
+        ext_rgb = jnp.concatenate(
+            [top[1:4].transpose(1, 2, 0), rgb.astype(jnp.float32),
+             bot[1:4].transpose(1, 2, 0)], axis=0,
+        ).astype(jnp.uint8)
+
+        # global depth range for the normalization channel
+        from rtnr_tpu.ops.raster import depth_min_max
+
+        dmin_l, dmax_l = depth_min_max(depth.reshape(-1))
+        dmin = jax.lax.pmin(dmin_l, tiles_axis)
+        dmax = jax.lax.pmax(dmax_l, tiles_axis)
+        if points_axis is not None:
+            # already identical across point shards (computed post-merge)
+            pass
+
+        pf = depth_prefilter(
+            ext_depth, ext_rgb, levels=levels,
+            filter_strength=filter_strength, gradient_filter=gradient_filter,
+            row_offset=t * strip_h - halo, total_h=height,
+            minmax=(dmin, dmax),
+        )
+        x_core = pf["unet_input"][halo : halo + strip_h]
+        uh = unet_halo
+        x_ext = pf["unet_input"][halo - uh : halo + strip_h + uh]
+        # zero the overlap rows beyond the global image (first/last strips)
+        grow = jnp.arange(x_ext.shape[0])[:, None, None] + (t * strip_h - uh)
+        x_ext = jnp.where((grow >= 0) & (grow < height), x_ext, 0.0)
+        y = unet.apply(uvars, x_ext[None])[0]
+        y_core = y[uh : uh + strip_h].astype(jnp.float32)
+        return (
+            rgb, depth, x_core,
+            y_core,
+        )
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pts_spec, pts_spec, pts_spec, P(), P()),
+        out_specs=(P(tiles_axis), P(tiles_axis), P(tiles_axis), P(tiles_axis)),
+        check_vma=False,
+    )
+    rgb, depth, x, y = fn(points, colors, valid, cam_proj, unet_variables)
+    rgb = rgb.reshape(height, width, 3)
+    depth = depth.reshape(height, width)
+    x = x.reshape(height, pad_w, 5)[:, :width]
+    y = y.reshape(height, pad_w, 3)[:, :width]
+    rgb8 = jnp.clip(jnp.rint(y * 255.0), 0, 255).astype(jnp.uint8)
+    return {
+        "raw_rgb": rgb,
+        "raw_depth": depth,
+        "unet_input": x,
+        "rgb_f": y,
+        "rgb_unet": rgb8,
+    }

@@ -80,3 +80,37 @@ def test_cli_full_without_ckpt_errors(tmp_path):
     traj.write_text("0 0 0 0 0 0 0 1\n")
     rc = cli_main([str(cloud), str(traj), str(calib), "--stage", "full"])
     assert rc == 1
+
+
+def test_cli_tiles_full_stage(tmp_path):
+    """--tiles with --stage full: whole-pipeline tile sharding end-to-end
+    (VERDICT r2 item 5 — the restriction to --stage project is lifted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+    from rtnr_tpu.models.unet import init_unet
+    from rtnr_tpu.utils.checkpoint import save_msgpack
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-2, 2, (4000, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    cols = rng.integers(0, 256, (4000, 3), dtype=np.uint8)
+    cloud = tmp_path / "cloud.ply"
+    write_ply(cloud, pts, cols)
+    calib = tmp_path / "calib.txt"
+    # 64x64 image: 4 strips of 16 rows x levels=2 via --features length
+    Camera.from_params(40, 40, 32, 32, 64, 64, (0, 0, 0, 0, 0)).save_calibration(calib)
+    traj = tmp_path / "traj.txt"
+    traj.write_text("0.0 0 0 0 0 0 0 1\n")
+    _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=(8, 16))
+    ckpt = tmp_path / "unet.msgpack"
+    save_msgpack(ckpt, fold_batchnorm(raw))
+    out = tmp_path / "out"
+    rc = cli_main([
+        str(cloud), str(traj), str(calib), "-o", str(out),
+        "--stage", "full", "--ckpt", str(ckpt), "--tiles", "2",
+        "--features", "8", "16", "--levels", "2",
+    ])
+    assert rc == 0
+    assert (out / "frame_1.png").exists()

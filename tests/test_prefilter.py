@@ -113,3 +113,43 @@ def test_prefilter_requires_divisible_dims():
     rgb = jnp.zeros((30, 32, 3), jnp.uint8)
     with pytest.raises(AssertionError):
         depth_prefilter(d, rgb, levels=4)
+
+
+def test_strip_mode_bitexact():
+    """Strip mode (row_offset/total_h): halo-extended strips with
+    global-row border semantics reproduce the full-image prefilter
+    BIT-EXACTLY on their core rows — including the first/last strips whose
+    outer halos are garbage (their values must never be consumed)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    H, W, levels = 128, 32, 3
+    halo, strip_h = 32, 32  # halo > the 28-row border-pollution bound
+    depth = rng.uniform(2.0, 30.0, (H, W)).astype(np.float32)
+    depth[rng.random((H, W)) < 0.3] = np.float32(3.4028235e38)  # empty
+    # structured content so gradient edges + refills actually fire
+    depth[40:80, 8:24] *= 0.2
+    rgb = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+
+    full = depth_prefilter(jnp.asarray(depth), jnp.asarray(rgb), levels=levels)
+    dmin, dmax = full["depth_min"], full["depth_max"]
+
+    for t in range(H // strip_h):
+        a = t * strip_h
+        lo, hi = a - halo, a + strip_h + halo
+        ext_d = np.full((hi - lo, W), 12345.0, np.float32)  # garbage filler
+        ext_c = np.zeros((hi - lo, W, 3), np.uint8)
+        src_lo, src_hi = max(lo, 0), min(hi, H)
+        ext_d[src_lo - lo : src_hi - lo] = depth[src_lo:src_hi]
+        ext_c[src_lo - lo : src_hi - lo] = rgb[src_lo:src_hi]
+        out = depth_prefilter(
+            jnp.asarray(ext_d), jnp.asarray(ext_c), levels=levels,
+            row_offset=jnp.int32(lo), total_h=H, minmax=(dmin, dmax),
+        )
+        sl_core = slice(halo, halo + strip_h)
+        sl_full = slice(a, a + strip_h)
+        for key in ("unet_input", "mask", "filtered_depth", "filtered_rgb"):
+            np.testing.assert_array_equal(
+                np.asarray(out[key][sl_core]), np.asarray(full[key][sl_full]),
+                err_msg=f"strip {t} field {key}",
+            )

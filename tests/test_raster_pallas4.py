@@ -90,3 +90,27 @@ def test_pallas4_empty_scene():
     np.testing.assert_array_equal(
         np.asarray(d), np.full(64, np.float32(3.4028235e38))
     )
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_pallas4_packed_out_interpret_exact(dense):
+    """packed_out: the in-kernel integer-average resolve (reference
+    render.cu:145-162) matches resolve_uint8 over the separate-images path
+    bit-exactly."""
+    from rtnr_tpu.ops.raster import resolve_uint8
+
+    sp_nc = make_sp_nc(6000, 48, 32, seed=3, dense=dense)
+    hw = 48 * 32
+    s_ref, c_ref, d_ref = raster_images_pallas4(
+        sp_nc, hw, 0.02, part_size=2048, sub_chunk=256,
+        expand_part=1024, expand_sub=128, interpret=True,
+    )
+    packed, d_got = raster_images_pallas4(
+        sp_nc, hw, 0.02, part_size=2048, sub_chunk=256,
+        expand_part=1024, expand_sub=128, packed_out=True, interpret=True,
+    )
+    rgb_ref = np.asarray(resolve_uint8(s_ref, c_ref))
+    pk = np.asarray(packed)
+    got = np.stack([pk & 255, (pk >> 8) & 255, (pk >> 16) & 255], axis=1)
+    np.testing.assert_array_equal(got.astype(np.uint8), rgb_ref)
+    np.testing.assert_array_equal(np.asarray(d_got), np.asarray(d_ref))

@@ -99,3 +99,63 @@ def test_tiles_candidate_gather_matches_and_reduces(setup):
     assert cand.shape == (8,)
     assert (cand < n_valid).all(), cand
     assert cand.sum() < 3 * n_valid  # strips overlap (block granularity) but not by much
+
+
+def test_render_full_tile_sharded_matches_single_device():
+    """Whole-pipeline tile sharding (VERDICT r2 item 5): raster and
+    prefilter core rows BIT-exact vs the single-device pipeline; U-Net
+    output allclose with only receptive-field-tail seam deviation."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtnr_tpu.models.unet import UNet, init_unet
+    from rtnr_tpu.parallel.mesh import make_mesh
+    from rtnr_tpu.parallel.tiles import render_full_tile_sharded
+    from rtnr_tpu.pipeline import render_full
+
+    W, H, levels = 64, 256, 3
+    scene = Scene.synthetic(60_000, seed=2, extent=6.0)
+    cam = Camera.from_params(60.0, 60.0, W / 2, H / 2, W, H)
+    E = np.eye(4)
+    E[2, 3] = 8.0
+    pts, cols, valid = scene.sorted_by_block().device_arrays(16)
+    M = jnp.asarray(cam.cam_proj(E), jnp.float32)
+    unet = UNet(features=(8, 16, 32), dtype=jnp.float32, fold_bn=True)
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+
+    _, raw = init_unet(jax.random.PRNGKey(1), H, W, features=(8, 16, 32))
+    variables = fold_batchnorm(raw)
+
+    ref = render_full(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), M,
+        unet, variables, width=W, height=H, levels=levels,
+    )
+    from rtnr_tpu.pipeline import render_filtered
+
+    ref_mid = render_filtered(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), M,
+        width=W, height=H, levels=levels,
+    )
+
+    mesh = make_mesh((4, 2), ("tiles", "points"))
+    out = render_full_tile_sharded(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid), M, mesh,
+        unet, variables, width=W, height=H, levels=levels,
+        halo=48, unet_halo=16, points_axis="points",
+    )
+
+    # raster + prefilter: BIT-exact
+    np.testing.assert_array_equal(
+        np.asarray(out["raw_rgb"]), np.asarray(ref["raw_rgb"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["raw_depth"]), np.asarray(ref["raw_depth"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["unet_input"]), np.asarray(ref_mid["unet_input"])
+    )
+    # U-Net: seams only (overlap-and-discard at unet_halo=16 rows)
+    a = np.asarray(out["rgb_f"], np.float32)
+    b = np.asarray(ref["rgb_f"], np.float32)[: H, : W]
+    assert np.mean(np.abs(a - b)) < 2e-3, np.mean(np.abs(a - b))
+    assert np.max(np.abs(a - b)) < 0.15, np.max(np.abs(a - b))
