@@ -431,19 +431,14 @@ class UNet(nn.Module):
             and phase_input_ok(self, x.shape[1], x.shape[2], force=force)
         )
         interp = force and jax.default_backend() != "tpu"
-        if use_phase and x.shape[0] == 1:
-            return self._phase_forward(x, P0, interp)
         if use_phase:
             # batched inference stays on the fast phase path: the Pallas
-            # kernels are single-image (rows are (H+2)*C), so run one
-            # unrolled phase forward per frame — per-frame cost equals the
-            # single-image fast path, which beats the XLA-conv fallback
-            # ~1.7x at deployment shapes (PROFILE_r02.md)
-            outs = [
-                self._phase_forward(x[i : i + 1], P0, interp)
-                for i in range(x.shape[0])
-            ]
-            return jnp.concatenate(outs, axis=0)
+            # kernels are single-image (rows are (H+2)*C), so the phase
+            # forward unrolls one frame at a time over SHARED submodules —
+            # per-frame cost equals the single-image fast path, which beats
+            # the XLA-conv fallback ~1.7x at deployment shapes
+            # (PROFILE_r02.md)
+            return self._phase_forward(x, P0, interp)
 
         skips = []
         for i, f in enumerate(self.features):
@@ -500,32 +495,48 @@ class UNet(nn.Module):
     ) -> jax.Array:
         """Whole-net packed phase-planar forward (inference, folded BN).
         Parameter tree is identical to the XLA path's (ConvParams mirrors
-        nn.Conv/nn.ConvTranspose), so checkpoints interchange."""
+        nn.Conv/nn.ConvTranspose), so checkpoints interchange.
+
+        Accepts a batch: submodules are constructed ONCE and applied per
+        frame (flax registers a submodule name once; repeated calls share
+        parameters), so batched inference stays on the fast phase path."""
         from rtnr_tpu.ops.conv_phase import (
             convt2x2_phase, from_phase, to_phase,
         )
 
         if packed is not None:
-            xp, h0, w0, c0 = packed
+            frames = [packed]
         else:
             h0, w0, c0 = x.shape[1], x.shape[2], x.shape[3]
-            xp = to_phase(x, P0)
-        P, hs, ws, cc = P0, h0, w0, c0
-        skips = []
-        for i, f in enumerate(self.features):
-            skip, pooled = DoubleConv(
-                f, dtype=self.dtype, fold_bn=self.fold_bn,
-                conv_impl=self.conv_impl, name=f"down{i}",
-            )(xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc, pool=True,
-                                    interpret=interp))
-            skips.append(skip)
-            xp, P, hs, ws, cc = pooled, P // 2, hs // 2, ws // 2, f
+            frames = [
+                (to_phase(x[i : i + 1], P0), h0, w0, c0)
+                for i in range(x.shape[0])
+            ]
 
-        (xp,) = DoubleConv(
+        # ---- construct every submodule / parameter once ----
+        downs = [
+            DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
+                       conv_impl=self.conv_impl, name=f"down{i}")
+            for i, f in enumerate(self.features)
+        ]
+        bottleneck = DoubleConv(
             self.features[-1] * 2, dtype=self.dtype, fold_bn=self.fold_bn,
             conv_impl=self.conv_impl, name="bottleneck",
-        )(xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc, interpret=interp))
-        cc = self.features[-1] * 2
+        )
+        up_params = []
+        updcs = []
+        cc_up = self.features[-1] * 2
+        for i, f in enumerate(reversed(self.features)):
+            up_params.append(ConvParams((2, 2, cc_up, f), name=f"up{i}")())
+            updcs.append(
+                DoubleConv(f, dtype=self.dtype, fold_bn=self.fold_bn,
+                           conv_impl=self.conv_impl, name=f"updc{i}")
+            )
+            cc_up = f
+        kf, bf = ConvParams(
+            (1, 1, self.features[0], self.out_channels), name="final_conv"
+        )()
+        final_head = (kf[0, 0], bf)
 
         import os as _os
 
@@ -538,41 +549,53 @@ class UNet(nn.Module):
         # fused form serializes the convT work into the conv's row loop.
         # Kept as a measured foil: RTNR_FUSE_UP=1 enables it.
         no_fuse = _os.environ.get("RTNR_FUSE_UP") != "1"
-        for i, f in enumerate(reversed(self.features)):
-            kup, bup = ConvParams((2, 2, cc, f), name=f"up{i}")()
-            hs, ws = hs * 2, ws * 2
-            last = i == len(self.features) - 1
-            head = None
-            if last:
-                kf, bf = ConvParams((1, 1, f, self.out_channels),
-                                    name="final_conv")()
-                head = (kf[0, 0], bf)
-            # fuse the ConvTranspose into the following conv pair's first
-            # conv when it fits VMEM in one F block (saves one full-res
-            # activation round trip through HBM); else run it standalone
-            if not no_fuse and fuse_up_ok(hs, 2 * P, f, f, cc, f):
-                P *= 2
-                (xp,) = DoubleConv(
-                    f, dtype=self.dtype, fold_bn=self.fold_bn,
-                    conv_impl=self.conv_impl, name=f"updc{i}",
-                )(skips[-(i + 1)], False, x2=xp,
-                  split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f, head=head,
-                             up=(kup, bup), interpret=interp))
-            else:
-                tr_t = 4 if (hs // 2) % 4 == 0 and cc < 512 else 2
-                xp = convt2x2_phase(
-                    xp, kup, bup, h=hs, w=ws, P=P, rows_per_step=tr_t,
-                    interpret=interp,
-                )
-                P *= 2
-                (xp,) = DoubleConv(
-                    f, dtype=self.dtype, fold_bn=self.fold_bn,
-                    conv_impl=self.conv_impl, name=f"updc{i}",
-                )(skips[-(i + 1)], False, x2=xp,
-                  split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f, head=head,
-                             interpret=interp))
-            cc = f
-        return from_phase(xp, h0, w0, 8, P)[..., : self.out_channels]
+
+        def one_frame(xp, h0, w0, c0):
+            P, hs, ws, cc = P0, h0, w0, c0
+            skips = []
+            for i, f in enumerate(self.features):
+                skip, pooled = downs[i](
+                    xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc,
+                                          pool=True, interpret=interp))
+                skips.append(skip)
+                xp, P, hs, ws, cc = pooled, P // 2, hs // 2, ws // 2, f
+
+            (xp,) = bottleneck(
+                xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc,
+                                      interpret=interp))
+            cc = self.features[-1] * 2
+
+            for i, f in enumerate(reversed(self.features)):
+                kup, bup = up_params[i]
+                hs, ws = hs * 2, ws * 2
+                head = final_head if i == len(self.features) - 1 else None
+                # fuse the ConvTranspose into the following conv pair's
+                # first conv when it fits VMEM in one F block (saves one
+                # full-res activation round trip through HBM); else run it
+                # standalone
+                if not no_fuse and fuse_up_ok(hs, 2 * P, f, f, cc, f):
+                    P *= 2
+                    (xp,) = updcs[i](
+                        skips[-(i + 1)], False, x2=xp,
+                        split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f,
+                                   head=head, up=(kup, bup),
+                                   interpret=interp))
+                else:
+                    tr_t = 4 if (hs // 2) % 4 == 0 and cc < 512 else 2
+                    xp = convt2x2_phase(
+                        xp, kup, bup, h=hs, w=ws, P=P, rows_per_step=tr_t,
+                        interpret=interp,
+                    )
+                    P *= 2
+                    (xp,) = updcs[i](
+                        skips[-(i + 1)], False, x2=xp,
+                        split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f,
+                                   head=head, interpret=interp))
+                cc = f
+            return from_phase(xp, h0, w0, 8, P)[..., : self.out_channels]
+
+        outs = [one_frame(*fr) for fr in frames]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def init_unet(

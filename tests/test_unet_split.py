@@ -77,3 +77,32 @@ def test_render_full_phase_pipeline_parity(monkeypatch):
         np.asarray(a["rgb_f"], np.float32), np.asarray(b["rgb_f"], np.float32),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_unet_split_batched_phase_path(monkeypatch):
+    """Batched inference stays on the phase path (VERDICT r2 item 6): a
+    (2, H, W, 5) input through the phase branch equals the two per-frame
+    phase forwards stacked, and matches the XLA path."""
+    monkeypatch.setenv("RTNR_SPLIT_FORCE", "1")
+    features = (16, 32)
+    H, W = 16, 32
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, raw = init_unet(jax.random.PRNGKey(0), H, W, features=features)
+    variables = fold_batchnorm(raw)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, H, W, 5), jnp.bfloat16)
+
+    def run(impl, xin):
+        net = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True,
+                   skip_concat="split", conv_impl=impl)
+        return np.asarray(net.apply(variables, xin), np.float32)
+
+    yb = run("pallas", x)
+    assert yb.shape == (2, H, W, 3)
+    # per-frame phase forwards stacked == the batched branch, exactly
+    y0 = run("pallas", x[0:1])
+    y1 = run("pallas", x[1:2])
+    np.testing.assert_array_equal(yb, np.concatenate([y0, y1], axis=0))
+    # and the batch matches the XLA conv path within bf16 budget
+    ya = run("xla", x)
+    np.testing.assert_allclose(ya, yb, rtol=5e-2, atol=5e-2)
+    assert np.abs(ya - yb).mean() < 5e-3
