@@ -278,27 +278,33 @@ def bwd_gather_unsort(
     """
     m = pix_s.shape[0]
     big = jnp.int32(m + hw)
-    keys1 = jnp.concatenate([jnp.arange(hw, dtype=jnp.int32), pix_s])
-    keys2 = jnp.concatenate([jnp.zeros((hw,), jnp.int32), jnp.ones((m,), jnp.int32)])
+    assert m + hw < (1 << 29), "flag-packed rank lane needs m + hw < 2^29"
+    # ONE key: pixel biased by the carrier/stream bit (carriers sort first
+    # within their pixel segment), and flags+rank PACKED into one int lane
+    # — 8 lanes / 2 keys -> 6 lanes / 1 key over the (n+hw) stream.
+    keys = jnp.concatenate(
+        [jnp.arange(hw, dtype=jnp.int32) << 1, (pix_s << 1) | 1]
+    )
     zm = jnp.zeros((m,), jnp.float32)
     vr = jnp.concatenate([g_sums[:, 0], zm])
     vg = jnp.concatenate([g_sums[:, 1], zm])
     vb = jnp.concatenate([g_sums[:, 2], zm])
     vz = jnp.concatenate([g_depth, zm])
-    flags = jnp.concatenate(
-        [jnp.zeros((hw,), jnp.int32),
-         band_s.astype(jnp.int32) | (head_s.astype(jnp.int32) << 1)]
+    frk = jnp.concatenate(
+        [jnp.full((hw,), big, jnp.int32),
+         jnp.where(idx_s < n, idx_s, big)
+         | (band_s.astype(jnp.int32) << 29)
+         | (head_s.astype(jnp.int32) << 30)]
     )
-    rank = jnp.concatenate(
-        [jnp.full((hw,), big, jnp.int32), jnp.where(idx_s < n, idx_s, big)]
+    k1, sr, sg, sb, sz, sfrk = jax.lax.sort(
+        (keys, vr, vg, vb, vz, frk), num_keys=1, is_stable=False
     )
-    k1, _k2, sr, sg, sb, sz, fl, rk = jax.lax.sort(
-        (keys1, keys2, vr, vg, vb, vz, flags, rank), num_keys=2, is_stable=False
-    )
-    is_head2 = k1 != _shift_right(k1, jnp.int32(-1))  # carriers sort first
+    pix2 = k1 >> 1
+    is_head2 = pix2 != _shift_right(pix2, jnp.int32(-1))  # carriers sort first
     vals = segment_broadcast_head(jnp.stack([sr, sg, sb, sz], axis=1), is_head2)
-    wf = (fl & 1).astype(jnp.float32)
-    hf = ((fl >> 1) & 1).astype(jnp.float32)
+    wf = ((sfrk >> 29) & 1).astype(jnp.float32)
+    hf = ((sfrk >> 30) & 1).astype(jnp.float32)
+    rk = sfrk & jnp.int32((1 << 29) - 1)
     _, cr, cg, cb, cz = jax.lax.sort(
         (rk, vals[:, 0] * wf, vals[:, 1] * wf, vals[:, 2] * wf, vals[:, 3] * hf),
         num_keys=1, is_stable=False,
