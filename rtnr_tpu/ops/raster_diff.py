@@ -234,14 +234,18 @@ def _diff_core_fwd_arrays(
     in_band = ok_s & ~(z_s > z_head + jnp.float32(depth_band))
 
     w_s = jnp.where(in_band & real_s, jnp.float32(1.0), 0.0)
-    contrib4 = jnp.stack([r_s * w_s, g_s * w_s, b_s * w_s, w_s], axis=1)
-    csum4 = jnp.cumsum(contrib4, axis=0)
+    # 1-D cumsums (a (m, 4)-stacked cumsum puts 4 on the minor dim — a
+    # 128-lane-padded layout XLA then scans 32x undersubscribed)
+    cs_r = jnp.cumsum(r_s * w_s)
+    cs_g = jnp.cumsum(g_s * w_s)
+    cs_b = jnp.cumsum(b_s * w_s)
+    cs_c = jnp.cumsum(w_s)
 
     # place INCLUSIVE csums at the carriers (exactly one per pixel, at its
     # segment's end); dense adjacent diffs recover the per-pixel sums
     key = jnp.where(~real_s & ok_s, pix_s, jnp.int32(hw))
     rr, gg, bb, cc, zz = place_rows_by_pixel(
-        key, (csum4[:, 0], csum4[:, 1], csum4[:, 2], csum4[:, 3], zb_head), hw
+        key, (cs_r, cs_g, cs_b, cs_c, zb_head), hw
     )
 
     def ddiff(x):
@@ -301,12 +305,21 @@ def bwd_gather_unsort(
     )
     pix2 = k1 >> 1
     is_head2 = pix2 != _shift_right(pix2, jnp.int32(-1))  # carriers sort first
-    vals = segment_broadcast_head(jnp.stack([sr, sg, sb, sz], axis=1), is_head2)
+    mk = pix2.shape[0]
+    head_pos2 = jax.lax.cummax(
+        jnp.where(is_head2, jnp.arange(mk, dtype=jnp.int32), jnp.int32(0))
+    )
+    # per-lane 1-D broadcasts (shared head_pos): same layout rationale as
+    # the forward's 1-D cumsums
+    br = segment_broadcast_head(sr, is_head2, head_pos2)
+    bg = segment_broadcast_head(sg, is_head2, head_pos2)
+    bb_ = segment_broadcast_head(sb, is_head2, head_pos2)
+    bz = segment_broadcast_head(sz, is_head2, head_pos2)
     wf = ((sfrk >> 29) & 1).astype(jnp.float32)
     hf = ((sfrk >> 30) & 1).astype(jnp.float32)
     rk = sfrk & jnp.int32((1 << 29) - 1)
     _, cr, cg, cb, cz = jax.lax.sort(
-        (rk, vals[:, 0] * wf, vals[:, 1] * wf, vals[:, 2] * wf, vals[:, 3] * hf),
+        (rk, br * wf, bg * wf, bb_ * wf, bz * hf),
         num_keys=1, is_stable=False,
     )
     g_colors = jnp.stack([cr[:n], cg[:n], cb[:n]], axis=1)
