@@ -39,7 +39,6 @@ from rtnr_tpu.ops.raster import (
     _pixel_ids,
     _shift_left,
     _shift_right,
-    gather_images_sorted,
     place_rows_by_pixel,
     project_points,
     segment_broadcast_head,
@@ -168,13 +167,13 @@ def camera_pose_gradients(
 #   d sums[p] / d color[j]  = [j in-band at p]          (0/1 weights)
 #   d depth[p] / d z[j]     = [j is the head of p]      (0/1 weights)
 #
-# so the backward pass is: (1) ONE multi-lane sort-merge gather of the four
-# gradient images (d sums rgb, d depth) at the sorted pixel ids, (2) mask by
-# the saved in-band/head flags, (3) ONE placement sort back to original
-# point order, (4) chain z cotangents through the (differentiable)
-# projection. Two sorts + scans — the same cost shape as the forward, no
-# scatters. Pixel/band/head decisions are straight-through as documented
-# above (piecewise constant: zero gradient almost everywhere).
+# so the backward pass is ONE multi-lane row gather of the cotangent images
+# (+ the head-depth image, which re-derives band/head membership per point)
+# at each point's own pixel id, then masking and the projection chain — no
+# sorts at all in the backward (bwd_from_images; measured ~23 ms vs ~60 ms
+# for the former two full-stream sort-merges at 5M/1080p). Pixel/band/head
+# decisions are straight-through as documented above (piecewise constant:
+# zero gradient almost everywhere).
 
 
 def _diff_core_fwd_arrays(
@@ -184,8 +183,10 @@ def _diff_core_fwd_arrays(
 
     Round-3 cost cuts vs the original formulation (each a full pass over
     the ~7M-element stream saved, same math):
-    - ``real`` derives from the idx lane (carriers carry idx == n) instead
-      of riding the sort as its own operand (7 -> 6 sorted lanes);
+    - no idx lane at all (6 -> 5 sorted lanes): carriers are recognized by
+      their exact DEPTH_EMPTY depth bits (a real in-range point's z is a
+      finite projection result, never FLT_MAX; culled points carry +inf
+      bits), and the gather-based backward needs no sorted-order rank;
     - the winner is simply each pixel's CARRIER (FLT_MAX depth sorts last
       in its segment), so no band-end/next-in logic gates the placement;
     - per-pixel banded sums come from DENSE adjacent diffs after the
@@ -193,6 +194,10 @@ def _diff_core_fwd_arrays(
       at row p), deleting the 4-lane pre-head prefix broadcast entirely —
       the same csum-diff trick as the production kernels
       (ops/raster_pallas4.py).
+
+    Residuals are ORIGINAL-ORDER (pix, z) — tiny, and they guarantee the
+    backward's band/head decisions replay the forward's exact f32 values
+    (a backward-side recompute could round differently after fusion).
     """
     n = points.shape[0]
     hw = width * height
@@ -202,26 +207,24 @@ def _diff_core_fwd_arrays(
     zs = jnp.where(pix < hw, z, jnp.float32(jnp.inf))
 
     z_bits = jax.lax.bitcast_convert_type(zs, jnp.int32)
-    carrier_pix = jnp.arange(hw, dtype=jnp.int32)
-    carrier_zb = jax.lax.bitcast_convert_type(
-        jnp.full((hw,), jnp.float32(DEPTH_EMPTY)), jnp.int32
+    empty_bits = jax.lax.bitcast_convert_type(
+        jnp.float32(DEPTH_EMPTY), jnp.int32
     )
+    carrier_pix = jnp.arange(hw, dtype=jnp.int32)
+    carrier_zb = jnp.full((hw,), empty_bits, jnp.int32)
     pix_all = jnp.concatenate([pix, carrier_pix])
     zb_all = jnp.concatenate([z_bits, carrier_zb])
     cf = colors.astype(jnp.float32)
     r_all = jnp.concatenate([cf[:, 0], jnp.zeros((hw,), jnp.float32)])
     g_all = jnp.concatenate([cf[:, 1], jnp.zeros((hw,), jnp.float32)])
     b_all = jnp.concatenate([cf[:, 2], jnp.zeros((hw,), jnp.float32)])
-    idx_all = jnp.concatenate(
-        [jnp.arange(n, dtype=jnp.int32), jnp.full((hw,), n, jnp.int32)]
-    )
 
-    pix_s, zb_s, r_s, g_s, b_s, idx_s = jax.lax.sort(
-        (pix_all, zb_all, r_all, g_all, b_all, idx_all), num_keys=2,
+    pix_s, zb_s, r_s, g_s, b_s = jax.lax.sort(
+        (pix_all, zb_all, r_all, g_all, b_all), num_keys=2,
         is_stable=False,
     )
     m = pix_s.shape[0]
-    real_s = idx_s < n
+    real_s = zb_s != empty_bits
     z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
     ok_s = pix_s < hw
     is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
@@ -253,77 +256,61 @@ def _diff_core_fwd_arrays(
 
     sums = jnp.stack([ddiff(rr), ddiff(gg), ddiff(bb)], axis=1)
     depth = jax.lax.bitcast_convert_type(zz, jnp.float32)
-    residuals = (
-        pix_s,
-        in_band & real_s,
-        is_head & real_s,
-        idx_s,
-    )
+    # original-order residuals: the backward re-derives band/head per POINT
+    # from the dense depth image (see bwd_from_images) — no sorted-order
+    # state crosses the fwd/bwd boundary.
+    residuals = (pix, zs)
     return (sums, ddiff(cc), depth), residuals
 
 
-def bwd_gather_unsort(
+def bwd_from_images(
     g_sums: jax.Array,
     g_depth: jax.Array,
-    pix_s: jax.Array,
-    band_s: jax.Array,
-    head_s: jax.Array,
-    idx_s: jax.Array,
+    depth_img: jax.Array,
+    pix: jax.Array,
+    z: jax.Array,
     hw: int,
-    n: int,
+    depth_band: float,
+    own: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused backward data movement: ONE interleave sort carries the four
-    cotangent images to the sorted stream AND the point indices/flags, and
-    ONE placement sort lands masked cotangents directly in ORIGINAL point
-    order — replacing gather_images_sorted + a separate un-permutation sort
-    (saves a full (n+hw)-element 5-lane sort per backward).
+    """Sort-free backward: ONE multi-lane row gather replaces the former
+    two full-stream sort-merges (interleave + un-permute).
 
-    Returns (g_colors (n,3), gz (n,)).
+    Everything the VJP needs per point j is a function of dense images at
+    j's own pixel (reference band semantics, render.cu:101-106):
+
+      in_band_j = ok_j  &  z_j <= depth[pix_j] + band
+      head_j    = ok_j  &  z_j == depth[pix_j]
+      g_colors[j] = in_band_j * g_sums[pix_j]
+      gz[j]       = head_j    * g_depth[pix_j]
+
+    so the backward is a single (hw, 5..6)-row ``jnp.take`` at the point's
+    pixel id (measured ~23 ms for 5M random rows vs ~60 ms for the sort
+    pair at the bench shape; block-sorted scenes gather coherently and do
+    better). The head test replays the forward's exact f32 head depth
+    (``depth_img`` IS the head's z), so it selects exactly the point the
+    forward's sort chose — exact whenever per-pixel depths are distinct;
+    on an exact z tie every tied point receives the full depth cotangent
+    (a one-sided-derivative convention on a measure-zero set).
+
+    ``own`` (optional, (hw,) int): per-shard pixel ownership for the
+    point-sharded path — gates the depth cotangent so exactly one shard's
+    head point receives it (parallel/diff.py).
     """
-    m = pix_s.shape[0]
-    big = jnp.int32(m + hw)
-    assert m + hw < (1 << 29), "flag-packed rank lane needs m + hw < 2^29"
-    # ONE key: pixel biased by the carrier/stream bit (carriers sort first
-    # within their pixel segment), and flags+rank PACKED into one int lane
-    # — 8 lanes / 2 keys -> 6 lanes / 1 key over the (n+hw) stream.
-    keys = jnp.concatenate(
-        [jnp.arange(hw, dtype=jnp.int32) << 1, (pix_s << 1) | 1]
-    )
-    zm = jnp.zeros((m,), jnp.float32)
-    vr = jnp.concatenate([g_sums[:, 0], zm])
-    vg = jnp.concatenate([g_sums[:, 1], zm])
-    vb = jnp.concatenate([g_sums[:, 2], zm])
-    vz = jnp.concatenate([g_depth, zm])
-    frk = jnp.concatenate(
-        [jnp.full((hw,), big, jnp.int32),
-         jnp.where(idx_s < n, idx_s, big)
-         | (band_s.astype(jnp.int32) << 29)
-         | (head_s.astype(jnp.int32) << 30)]
-    )
-    k1, sr, sg, sb, sz, sfrk = jax.lax.sort(
-        (keys, vr, vg, vb, vz, frk), num_keys=1, is_stable=False
-    )
-    pix2 = k1 >> 1
-    is_head2 = pix2 != _shift_right(pix2, jnp.int32(-1))  # carriers sort first
-    mk = pix2.shape[0]
-    head_pos2 = jax.lax.cummax(
-        jnp.where(is_head2, jnp.arange(mk, dtype=jnp.int32), jnp.int32(0))
-    )
-    # per-lane 1-D broadcasts (shared head_pos): same layout rationale as
-    # the forward's 1-D cumsums
-    br = segment_broadcast_head(sr, is_head2, head_pos2)
-    bg = segment_broadcast_head(sg, is_head2, head_pos2)
-    bb_ = segment_broadcast_head(sb, is_head2, head_pos2)
-    bz = segment_broadcast_head(sz, is_head2, head_pos2)
-    wf = ((sfrk >> 29) & 1).astype(jnp.float32)
-    hf = ((sfrk >> 30) & 1).astype(jnp.float32)
-    rk = sfrk & jnp.int32((1 << 29) - 1)
-    _, cr, cg, cb, cz = jax.lax.sort(
-        (rk, br * wf, bg * wf, bb_ * wf, bz * hf),
-        num_keys=1, is_stable=False,
-    )
-    g_colors = jnp.stack([cr[:n], cg[:n], cb[:n]], axis=1)
-    return g_colors, cz[:n]
+    lanes = [g_sums[:, 0], g_sums[:, 1], g_sums[:, 2], g_depth, depth_img]
+    if own is not None:
+        lanes.append(own.astype(jnp.float32))
+    table = jnp.stack(lanes, axis=1)
+    ok = pix < hw
+    rows = jnp.take(table, jnp.where(ok, pix, 0), axis=0)
+    zh = rows[:, 4]
+    in_band = ok & ~(z > zh + jnp.float32(depth_band))
+    head = ok & (z == zh)
+    if own is not None:
+        head = head & (rows[:, 5] > 0)
+    g_colors = rows[:, 0:3] * in_band[:, None].astype(jnp.float32)
+    gz = rows[:, 3] * head.astype(jnp.float32)
+    return g_colors, gz
 
 
 def rasterize_diff_sorted(
@@ -358,14 +345,16 @@ def rasterize_diff_sorted(
             points, colors, cam_proj, valid,
             width=width, height=height, depth_band=depth_band,
         )
-        return out, (residuals, points, cam_proj.astype(jnp.float32))
+        # out[2] is the dense head-depth image — the only image-sized
+        # residual the gather backward needs
+        return out, (residuals, out[2], points, cam_proj.astype(jnp.float32))
 
     def core_bwd(res, cts):
-        (pix_s, band_real_s, head_real_s, idx_s), pts, M = res
+        (pix, z), depth_img, pts, M = res
         g_sums, _g_cnt, g_depth = cts
-        # one fused interleave-gather + unsort (see bwd_gather_unsort)
-        g_colors, gz = bwd_gather_unsort(
-            g_sums, g_depth, pix_s, band_real_s, head_real_s, idx_s, hw, n
+        # one multi-lane row gather at each point's pixel (bwd_from_images)
+        g_colors, gz = bwd_from_images(
+            g_sums, g_depth, depth_img, pix, z, hw, depth_band
         )
         # chain depth cotangent through z = p . M[2,:3] + M[2,3]
         g_points = gz[:, None] * M[2, :3][None, :]

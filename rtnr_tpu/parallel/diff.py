@@ -13,8 +13,9 @@ the reference's two-pass semantics, render.cu:53-130) in the float/linear
 formulation of ``ops/raster_diff.py``. The backward is supplied by a custom
 VJP whose bwd pass is itself a ``shard_map``:
 
-- color cotangents: each shard gathers the (replicated) gradient images at
-  its sorted pixel ids, masks by its saved in-band flags, un-permutes —
+- color cotangents: each shard row-gathers the (replicated) gradient
+  images at its own points' pixel ids and masks by band membership
+  re-derived from the global z-buffer (ops/raster_diff.bwd_from_images) —
   grads land on the owning shard with no cross-device traffic.
 - depth cotangents: exactly ONE shard owns each pixel's z-buffer head
   (lowest mesh rank among depth ties, chosen with a second ``pmin`` in the
@@ -40,12 +41,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rtnr_tpu.config import DEPTH_EMPTY
 from rtnr_tpu.ops.raster import (
     _pixel_ids,
-    _shift_left,
     _shift_right,
-    gather_images_sorted,
     place_rows_by_pixel,
     project_points,
-    segment_broadcast_head,
 )
 from rtnr_tpu.ops.raster_diff import DiffRaster
 
@@ -72,21 +70,19 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
     )
     cf = cols.astype(jnp.float32)
     zeros_hw = jnp.zeros((hw,), jnp.float32)
-    pix_s, zb_s, r_s, g_s, b_s, idx_s = jax.lax.sort(
+    pix_s, zb_s, r_s, g_s, b_s = jax.lax.sort(
         (
             jnp.concatenate([pix, carrier_pix]),
             jnp.concatenate([zb, carrier_zb]),
             jnp.concatenate([cf[:, 0], zeros_hw]),
             jnp.concatenate([cf[:, 1], zeros_hw]),
             jnp.concatenate([cf[:, 2], zeros_hw]),
-            jnp.concatenate(
-                [jnp.arange(n, dtype=jnp.int32), jnp.full((hw,), n, jnp.int32)]
-            ),
         ),
         num_keys=2,
         is_stable=False,
     )
-    real_s = idx_s < n  # carriers carry idx == n (one sort lane saved)
+    empty_bits = jax.lax.bitcast_convert_type(jnp.float32(DEPTH_EMPTY), jnp.int32)
+    real_s = zb_s != empty_bits  # carriers carry exact DEPTH_EMPTY bits
     z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
     ok_s = pix_s < hw
     is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
@@ -104,7 +100,11 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
     owner = jax.lax.pmin(jnp.where(local_min == global_min, rank, _I32_MAX), axis)
     own_px = (owner == rank).astype(jnp.int32)
 
-    min_d_s, own_s = gather_images_sorted((global_min, own_px), pix_s, hw)
+    # row-gather the replicated global z-buffer at the sorted pixel ids
+    # (bwd_from_images measured row gathers far cheaper than the former
+    # gather_images_sorted sort-merge pair)
+    min_d_s = jnp.take(global_min, jnp.where(ok_s, pix_s, 0))
+    min_d_s = jnp.where(ok_s, min_d_s, jnp.float32(jnp.inf))
 
     in_band = ok_s & ~(z_s > min_d_s + jnp.float32(depth_band))
 
@@ -128,20 +128,22 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
     )
     cnt = jax.lax.psum(ddiff(cc), axis)
 
-    band_real = in_band & real_s
-    head_flag = is_head & real_s & (own_s > 0)
-    return (sums, cnt, global_min), (pix_s, band_real, head_flag, idx_s)
+    # original-order residuals (pix, z) + the per-shard pixel-ownership
+    # image; the backward re-derives band/head per point from the
+    # replicated global z-buffer (ops/raster_diff.bwd_from_images)
+    return (sums, cnt, global_min), (pix, zs, own_px)
 
 
-def _bwd_shard(pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth, *, hw, axis):
-    """Per-shard backward: one fused interleave-gather + unsort
-    (ops/raster_diff.py bwd_gather_unsort) → chain through the projection;
-    camera partials psum over the mesh."""
-    from rtnr_tpu.ops.raster_diff import bwd_gather_unsort
+def _bwd_shard(pix, z, own, depth_img, pts, Mf, g_sums, g_depth, *,
+               hw, depth_band, axis):
+    """Per-shard backward: one multi-lane row gather at the shard's own
+    pixel ids (ops/raster_diff.bwd_from_images, ownership-gated depth
+    cotangent) → chain through the projection; camera partials psum over
+    the mesh."""
+    from rtnr_tpu.ops.raster_diff import bwd_from_images
 
-    n = pts.shape[0]
-    g_colors, gz = bwd_gather_unsort(
-        g_sums, g_depth, pix_s, band_s, head_s, idx_s, hw, n
+    g_colors, gz = bwd_from_images(
+        g_sums, g_depth, depth_img, pix, z, hw, depth_band, own=own
     )
     # z = p · M[2,:3] + M[2,3]
     g_points = gz[:, None] * Mf[2, :3][None, :]
@@ -213,21 +215,25 @@ def _diff_sharded(
         _fwd_shard, width=width, height=height, depth_band=depth_band,
         axis=points_axis,
     )
-    bwd_one = functools.partial(_bwd_shard, hw=hw, axis=points_axis)
+    bwd_one = functools.partial(
+        _bwd_shard, hw=hw, depth_band=depth_band, axis=points_axis
+    )
 
     if batch_axis is None:
         fwd_body = fwd_one
 
-        def bwd_body(pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth):
-            return bwd_one(pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth)
+        def bwd_body(pix, z, own, depth_img, pts, Mf, g_sums, g_depth):
+            return bwd_one(pix, z, own, depth_img, pts, Mf, g_sums, g_depth)
     else:
         def fwd_body(pts, cols, val, Ms):
             return jax.vmap(lambda M: fwd_one(pts, cols, val, M))(Ms)
 
-        def bwd_body(pix_s, band_s, head_s, idx_s, pts, Mfs, g_sums, g_depth):
+        def bwd_body(pix, z, own, depth_img, pts, Mfs, g_sums, g_depth):
             gp, gc, gM = jax.vmap(
-                lambda px, bs, hs, ix, Mf, gs, gd: bwd_one(px, bs, hs, ix, pts, Mf, gs, gd)
-            )(pix_s, band_s, head_s, idx_s, Mfs, g_sums, g_depth)
+                lambda px, zz, ow, di, Mf, gs, gd: bwd_one(
+                    px, zz, ow, di, pts, Mf, gs, gd
+                )
+            )(pix, z, own, depth_img, Mfs, g_sums, g_depth)
             # the same scene serves every frame: sum point/color grads over
             # local frames, then over the batch axis
             gp = jax.lax.psum(jnp.sum(gp, axis=0), batch_axis)
@@ -237,12 +243,12 @@ def _diff_sharded(
     fwd_sm = jax.shard_map(
         fwd_body, mesh=mesh,
         in_specs=(spec_p, spec_p, spec_p, spec_b),
-        out_specs=((spec_b, spec_b, spec_b), (spec_res,) * 4),
+        out_specs=((spec_b, spec_b, spec_b), (spec_res,) * 3),
         check_vma=False,
     )
     bwd_sm = jax.shard_map(
         bwd_body, mesh=mesh,
-        in_specs=(spec_res,) * 4 + (spec_p, spec_b, spec_b, spec_b),
+        in_specs=(spec_res,) * 3 + (spec_b, spec_p, spec_b, spec_b, spec_b),
         out_specs=(spec_p, spec_p, spec_b if batch_axis is not None else P()),
         check_vma=False,
     )
@@ -254,13 +260,14 @@ def _diff_sharded(
 
     def core_fwd(points, colors, cam_proj):
         out, res = fwd_sm(points, colors, valid, cam_proj)
-        return out, (res, points, cam_proj.astype(jnp.float32))
+        # out[2] is the replicated global z-buffer the backward gathers from
+        return out, (res, out[2], points, cam_proj.astype(jnp.float32))
 
     def core_bwd(resid, cts):
-        (pix_s, band_s, head_s, idx_s), pts, Mf = resid
+        (pix, z, own), depth_img, pts, Mf = resid
         g_sums, _g_cnt, g_depth = cts
         g_points, g_colors, g_M = bwd_sm(
-            pix_s, band_s, head_s, idx_s, pts, Mf, g_sums, g_depth
+            pix, z, own, depth_img, pts, Mf, g_sums, g_depth
         )
         return g_points, g_colors, g_M.astype(cam_proj.dtype)
 
