@@ -105,6 +105,38 @@ def test_raster_perf_floor(bench_scene):
     assert ms < 26.0, f"raster {ms:.2f} ms/frame exceeds the 26 ms gate"
 
 
+def test_grad_step_perf_floor(bench_scene):
+    """Differentiable-raster gradient step at 1080p/5M: chained-loop floor
+    with headroom over the measured 94.7 ms (PROFILE_r03.md round-3
+    continuation: sort-free gather backward)."""
+    from rtnr_tpu.ops.raster_diff import rasterize_diff_sorted
+
+    points, colors, valid, M0 = bench_scene
+    colors = colors.astype(jnp.float32)
+    target = jax.random.uniform(
+        jax.random.PRNGKey(0), (1080, 1920, 3), jnp.float32, 0.0, 255.0
+    )
+
+    def loss(points, colors, M):
+        out = rasterize_diff_sorted(
+            points, colors, M, width=1920, height=1080, valid=valid
+        )
+        diff = (out.rgb - target) * out.mask[..., None]
+        return jnp.mean(diff * diff) + jnp.sum(
+            jnp.where(out.mask, out.depth, 0.0)
+        ) * jnp.float32(1e-9)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2))
+
+    def body(k, acc):
+        M = M0.at[0, 3].add(acc * jnp.float32(0.0) + 0.01 * k.astype(jnp.float32))
+        gp, gc, gm = grad(points, colors, M)
+        return acc + gm[2, 3]
+
+    ms = _chained_ms(body, jnp.float32(0.0))
+    assert ms < 115.0, f"grad step {ms:.2f} ms exceeds the 115 ms gate"
+
+
 def test_unet_perf_floor():
     """Phase U-Net apply at 1088x1920: floor with headroom over ~23 ms."""
     from rtnr_tpu.models.fold_bn import fold_batchnorm
