@@ -81,19 +81,27 @@ def main() -> None:
     jax.block_until_ready(render_trajectory(jnp.float32(0.01)))
     print("# timing...", file=sys.stderr, flush=True)
 
-    t0 = time.perf_counter()
-    out = render_trajectory(jnp.float32(0.02))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = frames / dt
+    # chip-state (clock/thermal) variance at this scale is ~±1 fps between
+    # sessions (PROFILE_r03.md); report the median of several in-process
+    # trials so round-over-round deltas are meaningful
+    n_trials = int(os.environ.get("BENCH_TRIALS", 3))
+    trials = []
+    for t in range(n_trials):
+        t0 = time.perf_counter()
+        out = render_trajectory(jnp.float32(0.02 + 0.001 * t))
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        trials.append(round(frames / dt, 3))
+    fps = sorted(trials)[len(trials) // 2]
 
     print(
         json.dumps(
             {
                 "metric": f"fps_{width}x{height}_full_pipeline_{n_points // 1_000_000}Mpts",
-                "value": round(fps, 3),
+                "value": fps,
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3),
+                "trials": trials,
                 # BASELINE.md throughput counters
                 "points_per_s": round(fps * n_points, 0),
                 "pixels_per_s": round(fps * width * height, 0),

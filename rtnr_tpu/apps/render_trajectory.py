@@ -46,10 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the image into N row strips over an N-device "
                         "mesh with per-strip block-grid candidate gather "
                         "(projection or full stage)")
-    p.add_argument("--cull-budget", type=int, default=0,
-                   help="enable block-grid frustum culling with this many "
-                        "point slots (0 = off); compaction is cached across "
-                        "nearby frames")
+    p.add_argument("--cull-budget", default="auto",
+                   help="block-grid frustum culling point-slot budget: an "
+                        "int, 'auto' (default: sized from the first view, "
+                        "grown on overflow), or '0'/'off'. Safe at any "
+                        "value: a view exceeding the budget falls back to "
+                        "the exact full-cloud render; compaction is cached "
+                        "across nearby frames")
     p.add_argument("--levels", type=int, default=4,
                    help="depth-prefilter pyramid levels (reference "
                         "depthRescaleDepth)")
@@ -106,8 +109,12 @@ def main(argv=None) -> int:
 
     config = RenderConfig(stage_timing=args.timings, unet_features=tuple(args.features),
                           pyramid_levels=args.levels)
+    cull = args.cull_budget
+    if isinstance(cull, str):
+        cull = None if cull.lower() in ("0", "off", "none") else (
+            "auto" if cull.lower() == "auto" else int(cull))
     renderer = Renderer(scene, config=config, unet_variables=variables,
-                        cull_budget=args.cull_budget or None)
+                        cull_budget=cull or None)
 
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)

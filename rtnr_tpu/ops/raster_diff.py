@@ -204,7 +204,13 @@ def _diff_core_fwd_arrays(
     M = cam_proj.astype(jnp.float32)
     u, v, z = project_points(points, M)
     pix, _ok = _pixel_ids(u, v, z, valid, width, height)
-    zs = jnp.where(pix < hw, z, jnp.float32(jnp.inf))
+    # z >= DEPTH_EMPTY also maps to inf: carriers are identified by their
+    # exact DEPTH_EMPTY bit pattern, so no REAL point may carry it (it
+    # would duplicate a pixel key into place_rows_by_pixel and shift every
+    # subsequent pixel's row). Such a point sorts past the carrier and
+    # lands out-of-band — consistently "beyond the far plane".
+    zs = jnp.where((pix < hw) & (z < jnp.float32(DEPTH_EMPTY)), z,
+                   jnp.float32(jnp.inf))
 
     z_bits = jax.lax.bitcast_convert_type(zs, jnp.int32)
     empty_bits = jax.lax.bitcast_convert_type(

@@ -58,7 +58,10 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
     Mf = M.astype(jnp.float32)
     u, v, z = project_points(pts, Mf)
     pix, _ok = _pixel_ids(u, v, z, val, width, height)
-    zs = jnp.where(pix < hw, z, jnp.float32(jnp.inf))
+    # z >= DEPTH_EMPTY maps to inf so no real point can alias the carrier
+    # bit pattern (see ops/raster_diff.py same guard)
+    zs = jnp.where((pix < hw) & (z < jnp.float32(DEPTH_EMPTY)), z,
+                   jnp.float32(jnp.inf))
     zb = jax.lax.bitcast_convert_type(zs, jnp.int32)
 
     # per-shard carriers: every pixel owns a local segment, so the local

@@ -237,7 +237,7 @@ class Renderer:
         config: RenderConfig = RenderConfig(),
         unet_variables: Any = None,
         pad_points_to: int = 1024,
-        cull_budget: Optional[int] = None,
+        cull_budget: Any = None,
         cull_margin_px: float = 96.0,
         cull_inflate_m: float = 0.5,
     ):
@@ -249,18 +249,27 @@ class Renderer:
         camera stays within ``cull_inflate_m`` meters / a rotation bounded
         by ``cull_margin_px`` pixels of the compaction pose (block AABBs are
         inflated by the same amount, so reuse is conservative, not
-        approximate). Budget overflow drops points — size it from the
-        scene's worst expected visibility."""
+        approximate).
+
+        Culling is SAFE regardless of the budget: if a view keeps more
+        points than the budget, the renderer falls back to the exact
+        full-cloud render for that pose region instead of dropping points
+        (the compaction itself never silently truncates). ``cull_budget``
+        may be an int, ``"auto"`` (sized to 1.5x the first view's kept
+        count and grown on overflow), or None/0 (off)."""
         self.config = config
         pts, cols, valid = scene.sorted_by_block().device_arrays(pad_points_to)
         self.points = jnp.asarray(pts)
         self.colors = jnp.asarray(cols)
         self.valid = jnp.asarray(valid)
-        self.cull_budget = cull_budget
+        self._cull_auto = cull_budget == "auto"
+        self.cull_budget = None if self._cull_auto else cull_budget
+        self._cull_enabled = bool(cull_budget)
+        self._pad_points_to = int(pad_points_to)
         self.cull_margin_px = float(cull_margin_px)
         self.cull_inflate_m = float(cull_inflate_m)
         self._cull_cache: Optional[dict] = None
-        if cull_budget:
+        if self._cull_enabled:
             from rtnr_tpu.ops.culling import build_block_index
 
             self._block_index = build_block_index(scene, pad_to_multiple=pad_points_to)
@@ -291,8 +300,10 @@ class Renderer:
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Scene arrays for this view: full cloud, or the cached culled
         compaction (recomputed only when the pose leaves the cached
-        compaction's conservative validity region)."""
-        if not self.cull_budget:
+        compaction's conservative validity region). If the view keeps more
+        points than the budget, the EXACT full cloud is returned (and
+        cached for the region) — culling never drops visible points."""
+        if not self._cull_enabled:
             return self.points, self.colors, self.valid
         E = np.asarray(extrinsics, np.float64)
         R, t = E[:3, :3], E[:3, 3]
@@ -321,11 +332,28 @@ class Renderer:
             width=camera.width, height=camera.height,
             margin=self.cull_margin_px, inflate_m=self.cull_inflate_m,
         )
-        arrays = compact_points(self.points, self.colors, keep, self.cull_budget)
+        n_kept = int(np.asarray(jnp.sum(keep.astype(jnp.int32))))
+        pad = self._pad_points_to
+        if self._cull_auto and (
+            self.cull_budget is None or n_kept > self.cull_budget
+        ):
+            # size (or grow, on overflow) the budget to 1.5x the kept count
+            self.cull_budget = min(
+                -(-int(1.5 * max(n_kept, 1)) // pad) * pad,
+                int(self.points.shape[0]),
+            )
+        if n_kept > (self.cull_budget or 0):
+            # overflow: the compaction would drop visible points — render
+            # the exact full cloud for this pose region instead
+            arrays = (self.points, self.colors, self.valid)
+            overflowed = True
+        else:
+            arrays = compact_points(self.points, self.colors, keep, self.cull_budget)
+            overflowed = False
         self._cull_cache = {
             "arrays": arrays, "C": C, "R": R,
             "wh": (camera.width, camera.height),
-            "n_kept": int(np.asarray(jnp.sum(keep.astype(jnp.int32)))),
+            "n_kept": n_kept, "overflowed": overflowed,
         }
         return arrays
 

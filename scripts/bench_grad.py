@@ -3,7 +3,8 @@
 The north-star differentiability claim at production scale: one jitted
 step computing d(loss)/d(points, colors, cam_proj) through the sort-based
 custom-VJP raster (ops/raster_diff.rasterize_diff_sorted) at the bench
-shape. Prints one JSON line; the number is recorded in PROFILE_r02.md.
+shape. Prints one JSON line; numbers are recorded in the current round's
+PROFILE_r0N.md (history: r2 244.6 ms, r3 94.7 ms).
 """
 
 import json

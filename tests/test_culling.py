@@ -162,3 +162,51 @@ def test_compact_points_sort_based():
     )
     assert int(np.asarray(out_v2).sum()) == 100
     np.testing.assert_array_equal(np.asarray(out_p2), pts[keep][:100])
+
+
+def test_renderer_overflow_falls_back_to_full_cloud():
+    """A fixed budget smaller than the view's kept count must NOT drop
+    points: the renderer renders the exact full cloud for that region."""
+    from rtnr_tpu.camera import Camera
+    from rtnr_tpu.pipeline import Renderer
+
+    scene = Scene.synthetic_room(40_000, seed=6)
+    cam = Camera.from_params(80.0, 80.0, 48, 32, 96, 64)
+    E = np.eye(4)
+    E[2, 3] = 3.5
+
+    full = Renderer(scene)
+    tiny = Renderer(scene, cull_budget=64)  # guaranteed overflow
+    a = full.compute_rgbd(cam, E)
+    b = tiny.compute_rgbd(cam, E)
+    assert tiny._cull_cache["overflowed"]
+    assert tiny._cull_cache["n_kept"] > 64
+    np.testing.assert_array_equal(a["depth"], b["depth"])
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+    # the fallback decision is cached like a normal compaction
+    cache0 = tiny._cull_cache
+    tiny.compute_rgbd(cam, E)
+    assert tiny._cull_cache is cache0
+
+
+def test_renderer_auto_budget():
+    """cull_budget='auto' sizes the budget from the first view's kept
+    count (1.5x, padded) and stays bit-exact vs the full render."""
+    from rtnr_tpu.camera import Camera
+    from rtnr_tpu.pipeline import Renderer
+
+    scene = Scene.synthetic_room(40_000, seed=7)
+    cam = Camera.from_params(80.0, 80.0, 48, 32, 96, 64)
+    E = np.eye(4)
+    E[2, 3] = 3.5
+
+    full = Renderer(scene)
+    auto = Renderer(scene, cull_budget="auto", pad_points_to=1024)
+    a = full.compute_rgbd(cam, E)
+    b = auto.compute_rgbd(cam, E)
+    n_kept = auto._cull_cache["n_kept"]
+    assert not auto._cull_cache["overflowed"]
+    assert auto.cull_budget >= n_kept
+    assert auto.cull_budget <= max(-(-int(1.5 * n_kept) // 1024) * 1024, 1024)
+    np.testing.assert_array_equal(a["depth"], b["depth"])
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
