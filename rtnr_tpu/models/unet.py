@@ -288,6 +288,8 @@ class DoubleConv(nn.Module):
             # With split["up"] = (kernel, bias), x2 is the HALF-resolution
             # deep activation and the decoder's ConvTranspose fuses into
             # conv0 (ops/conv_phase.py fused-up path).
+            # split["quant"] = (q0, q1) routes either conv through the int8
+            # MXU path (per-channel weights, per-lane dynamic activations).
             from rtnr_tpu.ops.conv_phase import conv3x3_phase
 
             assert self.fold_bn and not train
@@ -297,6 +299,7 @@ class DoubleConv(nn.Module):
             cin = c0 + c2
             interp = split.get("interpret", False)
             up = split.get("up")
+            q0, q1 = split.get("quant", (False, False))
             f = self.features
             k0, b0 = ConvParams((3, 3, cin, f), name="conv0")()
             arrs = [x] + ([x2] if x2 is not None else [])
@@ -305,6 +308,7 @@ class DoubleConv(nn.Module):
                 up_kernel=None if up is None else up[0],
                 up_bias=None if up is None else up[1],
                 h=h, w=w, P=P, relu=True, interpret=interp,
+                quant=q0 and up is None,
             )
             k1, b1 = ConvParams((3, 3, f, f), name="conv1")()
             head = split.get("head")
@@ -314,6 +318,7 @@ class DoubleConv(nn.Module):
                 head_kernel=None if head is None else head[0],
                 head_bias=None if head is None else head[1],
                 h=h, w=w, P=P, relu=True, pool=pool, interpret=interp,
+                quant=q1,
             )
         for i in range(2):
             if i == 0 and x2 is not None:
@@ -394,6 +399,13 @@ class UNet(nn.Module):
     # than the matmul form (whose pixel-shuffle transpose costs a relayout
     # pass), so convt stays the default; matmul is kept as a measured foil.
     up_impl: str = "convt"
+    # int8 phase-path inference (v5e MXU int8 = 2x bf16 peak): every conv
+    # pair runs quantized EXCEPT the 5-channel input conv (down0.conv0) and
+    # the fused 1x1 head, which stay bf16. Approximate — parity budget
+    # pinned by tests/test_unet_split.py; the reference's own shipped
+    # inference is precision-degraded fp16 TensorRT (model/export_ts.py:16).
+    # Only affects the packed phase-planar path; XLA path ignores it.
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(
@@ -550,19 +562,22 @@ class UNet(nn.Module):
         # Kept as a measured foil: RTNR_FUSE_UP=1 enables it.
         no_fuse = _os.environ.get("RTNR_FUSE_UP") != "1"
 
+        q = self.quant_int8
+
         def one_frame(xp, h0, w0, c0):
             P, hs, ws, cc = P0, h0, w0, c0
             skips = []
             for i, f in enumerate(self.features):
                 skip, pooled = downs[i](
                     xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc,
-                                          pool=True, interpret=interp))
+                                          pool=True, interpret=interp,
+                                          quant=(q and i > 0, q)))
                 skips.append(skip)
                 xp, P, hs, ws, cc = pooled, P // 2, hs // 2, ws // 2, f
 
             (xp,) = bottleneck(
                 xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc,
-                                      interpret=interp))
+                                      interpret=interp, quant=(q, q)))
             cc = self.features[-1] * 2
 
             for i, f in enumerate(reversed(self.features)):
@@ -579,7 +594,7 @@ class UNet(nn.Module):
                         skips[-(i + 1)], False, x2=xp,
                         split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f,
                                    head=head, up=(kup, bup),
-                                   interpret=interp))
+                                   interpret=interp, quant=(False, q)))
                 else:
                     tr_t = 4 if (hs // 2) % 4 == 0 and cc < 512 else 2
                     xp = convt2x2_phase(
@@ -590,7 +605,8 @@ class UNet(nn.Module):
                     (xp,) = updcs[i](
                         skips[-(i + 1)], False, x2=xp,
                         split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f,
-                                   head=head, interpret=interp))
+                                   head=head, interpret=interp,
+                                   quant=(q, q)))
                 cc = f
             return from_phase(xp, h0, w0, 8, P)[..., : self.out_channels]
 

@@ -81,36 +81,36 @@ def _conv_phase_kernel(
     head: bool,
     up_cd: int = 0,  # fused ConvTranspose: deep input channel count (0 = off)
     up_h: int = 0,  # output height (up-row zero-pad bounds)
+    quant: bool = False,  # int8 weights + per-lane dynamic activation quant
 ):
     nw = 1 + int(head)
     upc = up_cd > 0
-    xs = refs[:n_in]
-    w_hbm = refs[n_in]
-    h_hbm = refs[n_in + 1] if head else None
-    b_hbm = refs[n_in + nw]
-    wt_hbm = refs[n_in + nw + 1] if upc else None
-    bt_hbm = refs[n_in + nw + 2] if upc else None
-    n_args = n_in + nw + 1 + 2 * int(upc)
-    outs = refs[n_args:]
-    o_hbm = outs[0]
-    pool_hbm = outs[1] if pool else None
-    scratch = refs[n_args + 1 + int(pool) :]
-    xs_v = scratch[:n_in]
-    w_v = scratch[n_in]
-    h_v = scratch[n_in + 1] if head else None
-    b_v = scratch[n_in + nw]
-    base = n_in + nw + 1
+    it = iter(refs)
+    xs = [next(it) for _ in range(n_in)]
+    w_hbm = next(it)
+    h_hbm = next(it) if head else None
+    b_hbm = next(it)
+    ws_hbm = next(it) if quant else None  # (F, 128) f32 per-channel w scales
+    wt_hbm = next(it) if upc else None
+    bt_hbm = next(it) if upc else None
+    o_hbm = next(it)
+    pool_hbm = next(it) if pool else None
+    xs_v = [next(it) for _ in range(n_in)]
+    w_v = next(it)
+    h_v = next(it) if head else None
+    b_v = next(it)
+    ws_v = next(it) if quant else None
     if upc:
-        wt_v = scratch[base]
-        bt_v = scratch[base + 1]
-        up_v = scratch[base + 2]
-        base += 3
-    y_v = scratch[base]
-    p_v = scratch[base + 1] if pool else None
-    z_v = scratch[base + 1 + int(pool)]
-    in_sem = scratch[base + 2 + int(pool)]
-    o_sem = scratch[base + 3 + int(pool)]
-    wb_sem = scratch[base + 4 + int(pool)]
+        wt_v = next(it)
+        bt_v = next(it)
+        up_v = next(it)
+    xq_v = [next(it) for _ in range(n_in)] if quant else None
+    y_v = next(it)
+    p_v = next(it) if pool else None
+    z_v = next(it)
+    in_sem = next(it)
+    o_sem = next(it)
+    wb_sem = next(it)
 
     # grid (F blocks, row steps): weights for output channels
     # [fb*FB, (fb+1)*FB) stay VMEM-resident across a full row sweep (deep
@@ -158,6 +158,10 @@ def _conv_phase_kernel(
         start_fetch(0, 0)
         if head:
             cp = pltpu.make_async_copy(h_hbm, h_v, wb_sem)
+            cp.start()
+            cp.wait()
+        if quant:
+            cp = pltpu.make_async_copy(ws_hbm, ws_v, wb_sem)
             cp.start()
             cp.wait()
         if upc:
@@ -286,22 +290,61 @@ def _conv_phase_kernel(
                         valid, row, jnp.bfloat16(0)
                     )
 
+    # int8 path: quantize this step's fetched window(s) ONCE (per-lane
+    # symmetric scale shared across ALL K rows so it factors out of the
+    # matmul's output columns), then the row loop issues int8 MXU matmuls
+    # and dequantizes the int32 accumulator BEFORE the tap rolls (a rolled
+    # lane's value came from a different column scale, so scaling must
+    # precede the roll). Weights carry per-output-channel scales (ws_v).
+    if quant:
+        amax = None
+        for i in range(n_in):
+            wf = jnp.abs(xs_v[i][slot][:, :].astype(jnp.float32))
+            mi = jnp.max(wf, axis=0, keepdims=True)  # (1, LB)
+            amax = mi if amax is None else jnp.maximum(amax, mi)
+        sxf = amax * jnp.float32(1.0 / 127.0)  # (1, LB) dequant scale
+        inv = jnp.where(amax > 0, jnp.float32(127.0) / amax, jnp.float32(0.0))
+        for i in range(n_in):
+            xf = xs_v[i][slot][:, :].astype(jnp.float32) * inv
+            xq_v[i][:, :] = jnp.clip(
+                jnp.rint(xf), -127.0, 127.0
+            ).astype(jnp.int8)
+        wsb = ws_v[pl.ds(fb * FB, FB), 0:1]  # (FB, 1) f32
+        dq = wsb * sxf  # (FB, LB) combined dequant scale
+
     # one matmul per image row directly on the fetched window — rows
     # [t*C, (t+3)*C) of the block ARE the dy-stacked taps, so no P matrix
     # is ever materialized (saves a (3C, TR*LB) VPU copy per step)
     y_ts = []
     for t in range(TR):
-        if n_in == 1:
-            rhs = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
+        if quant:
+            if n_in == 1:
+                rhs_q = xq_v[0][t * C[0] : (t + 3) * C[0], :]
+            else:
+                rhs_q = jnp.concatenate(
+                    [xq_v[i][t * C[i] : (t + 3) * C[i], :] for i in range(n_in)],
+                    axis=0,
+                )
+            Ai = jax.lax.dot_general(
+                w_lhs, rhs_q,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (3*FB, LB) i32
+            A0 = Ai[0:FB, :].astype(jnp.float32) * dq
+            A1 = Ai[FB : 2 * FB, :].astype(jnp.float32) * dq
+            A2 = Ai[2 * FB :, :].astype(jnp.float32) * dq
         else:
-            def tap(i):
-                if upc and i == 1:
-                    return up_v[t * C[1] : (t + 3) * C[1], :]
-                return xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
+            if n_in == 1:
+                rhs = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
+            else:
+                def tap(i):
+                    if upc and i == 1:
+                        return up_v[t * C[1] : (t + 3) * C[1], :]
+                    return xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
 
-            rhs = jnp.concatenate([tap(i) for i in range(n_in)], axis=0)
-        A = mm(w_lhs, rhs)  # (3*FB, LB) f32
-        A0, A1, A2 = A[0:FB, :], A[FB : 2 * FB, :], A[2 * FB :, :]
+                rhs = jnp.concatenate([tap(i) for i in range(n_in)], axis=0)
+            A = mm(w_lhs, rhs)  # (3*FB, LB) f32
+            A0, A1, A2 = A[0:FB, :], A[FB : 2 * FB, :], A[2 * FB :, :]
 
         # left tap x-1: phase p-1 same u, or (phase P-1, u-1) at p==0
         if P > 1:
@@ -421,7 +464,7 @@ def _conv_phase_kernel(
 
 def _pick_tr_fb(
     h: int, P: int, Cs: Tuple[int, ...], F: int, pool: bool, head: bool,
-    up_cd: int = 0,
+    up_cd: int = 0, quant: bool = False,
 ) -> Tuple[int, int]:
     """Largest (rows-per-step, F-block) whose VMEM footprint fits (~13 MB
     of the 16 MB scoped limit), per the kernel's scratch + live values."""
@@ -445,9 +488,14 @@ def _pick_tr_fb(
                 base += 4 * c * (lb // 2) * 4  # A_t f32 (dies per deep row)
             else:
                 base += 2 * (tr + 2) * c * lb * 2  # fetch, 2 slots
+            if quant:
+                base += (tr + 2) * c * lb  # int8 quantized window copy
         fbs = [F] if head else [f for f in (F, F // 2, F // 4, F // 8)
                                 if f >= 8 and f % 8 == 0]
+        if quant:  # int8 weight-block DMA rows (3*FB) must tile (32, 128)
+            fbs = [f for f in fbs if (3 * f) % 32 == 0 or f == F]
         k128 = _round_up(3 * sumC, 128)
+        wbytes = 1 if quant else 2
         for fbl in fbs:
             if up_cd and fbl != F:
                 continue  # fused path requires a single F block
@@ -456,8 +504,8 @@ def _pick_tr_fb(
                 # weight block counts twice: the VMEM scratch AND the value
                 # the matmul loads from it (measured 16.4M scoped at the
                 # bottleneck when counted once)
-                + 2 * 3 * fbl * k128 * 2
-                + 3 * fbl * lb * 4  # per-row A f32 (dies each row)
+                + 2 * 3 * fbl * k128 * wbytes
+                + 3 * fbl * lb * 4  # per-row A f32/i32 (dies each row)
                 + 2 * fbl * tr * lb * 2 * (2 if pool else 1)  # y/pool x2
             )
             if est <= budget:
@@ -476,7 +524,7 @@ def fuse_up_ok(h: int, P: int, c_skip: int, c_up: int, up_cd: int, F: int) -> bo
 @functools.partial(
     jax.jit,
     static_argnames=("h", "w", "P", "relu", "pool", "rows_per_step",
-                     "interpret"),
+                     "interpret", "quant"),
 )
 def conv3x3_phase(
     xs: Sequence[jax.Array],
@@ -494,6 +542,7 @@ def conv3x3_phase(
     pool: bool = False,
     rows_per_step: Optional[int] = None,
     interpret: bool = False,
+    quant: bool = False,
 ):
     """3x3 s1 same conv over the channel-concat of packed phase-planar
     inputs at P phases; optional fused ReLU, 2x2-max-pool side output
@@ -504,11 +553,19 @@ def conv3x3_phase(
     deep activation (P/2 phases, h/2 rows) and the 2x2-stride-2 transposed
     conv is fused into this kernel: the up window materializes in VMEM per
     row step (bit-identical values to ``convt2x2_phase``), skipping one
-    full-resolution activation round-trip through HBM per decoder level."""
+    full-resolution activation round-trip through HBM per decoder level.
+
+    ``quant=True`` runs the matmuls on the int8 MXU path (2x bf16 peak on
+    v5e): weights are quantized per-output-channel, activations per-lane
+    per row-step inside the kernel (windows stay bf16 in HBM). Approximate
+    — error budget pinned by tests/test_conv_phase.py; the reference
+    itself ships precision-degraded fp16 inference (model/export_ts.py:16).
+    """
     n_in = len(xs)
     assert n_in in (1, 2)
     assert w % P == 0 and w // P <= WS
     upc = up_kernel is not None
+    assert not (quant and upc), "int8 path does not fuse ConvTranspose"
     if upc:
         assert n_in == 2 and not pool and P % 2 == 0
         up_cd = int(up_kernel.shape[2])
@@ -522,7 +579,7 @@ def conv3x3_phase(
     F = kernel.shape[-1]
     head = head_kernel is not None
     assert not (head and pool)
-    tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd)
+    tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd, quant)
     TR = rows_per_step or tr_auto
     n_fb = F // FB
     assert h % TR == 0 and (not pool or (TR % 2 == 0 and P % 2 == 0))
@@ -535,13 +592,23 @@ def conv3x3_phase(
         kernel = jnp.concatenate(
             [kernel, jnp.zeros((3, 3, sumC - kc, F), kernel.dtype)], axis=2
         )
+    swv = None
+    if quant:
+        # per-output-channel symmetric int8 (the scale rides a (F, 128)
+        # broadcast column like the bias)
+        kf = kernel.astype(jnp.float32)
+        swv = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)),
+                          jnp.float32(1e-12)) * jnp.float32(1.0 / 127.0)
+        kernel = jnp.clip(jnp.rint(kf / swv), -127.0, 127.0)
     kparts = []
     off = 0
     for c in Cs:
         kp = kernel[:, :, off : off + c, :]
         off += c
         kparts.append(kp.transpose(1, 3, 0, 2).reshape(3 * F, 3 * c))
-    w2 = jnp.concatenate(kparts, axis=1).astype(jnp.bfloat16)
+    w2 = jnp.concatenate(kparts, axis=1).astype(
+        jnp.int8 if quant else jnp.bfloat16
+    )
     # rearrange into F blocks (block fb holds rows (dx, fb*FB + j)); the
     # K dim pads to a lane tile so the per-block DMA slice is legal
     # (sub-128 minor dims cannot be memref_sliced)
@@ -570,6 +637,10 @@ def conv3x3_phase(
             jnp.broadcast_to(hb.astype(jnp.bfloat16)[:, None], (F2, 128))
         )
     args.append(jnp.concatenate(brows, axis=0))
+    if quant:
+        args.append(
+            jnp.broadcast_to(swv[:, None], (F, 128)).astype(jnp.float32)
+        )
     if upc:
         c2 = Cs[1]
         # flax ConvTranspose applies the SPATIALLY FLIPPED kernel (see
@@ -600,15 +671,21 @@ def conv3x3_phase(
             )
         else:
             scratch.append(pltpu.VMEM((2, (TR + 2) * c, LB), jnp.bfloat16))
-    scratch += [pltpu.VMEM((3 * FB, K128), jnp.bfloat16)]
+    scratch += [pltpu.VMEM((3 * FB, K128), jnp.int8 if quant else jnp.bfloat16)]
     if head:
         scratch += [pltpu.VMEM((F2, _round_up(F, 128)), jnp.bfloat16)]
     scratch += [pltpu.VMEM((F + (F2 if head else 0), 128), jnp.bfloat16)]
+    if quant:
+        scratch += [pltpu.VMEM((F, 128), jnp.float32)]  # per-channel w scale
     if upc:
         scratch += [
             pltpu.VMEM((4 * Cs[1], up_cd), jnp.bfloat16),
             pltpu.VMEM((Cs[1], 128), jnp.bfloat16),
             pltpu.VMEM(((TR + 2) * Cs[1], LB), jnp.bfloat16),  # up window
+        ]
+    if quant:  # quantized window copies (single-buffered: consumed in-step)
+        scratch += [
+            pltpu.VMEM(((TR + 2) * c, LB), jnp.int8) for c in Cs
         ]
     scratch += [
         pltpu.VMEM((2, F2 if head else FB, TR * LB), jnp.bfloat16),  # y x2
@@ -638,6 +715,7 @@ def conv3x3_phase(
             head=head,
             up_cd=up_cd,
             up_h=h,
+            quant=quant,
         ),
         out_shape=out_shapes,
         grid=(n_fb, steps),

@@ -55,6 +55,7 @@ def bench_unet():
         skip_concat=os.environ.get("UNET_SKIP", "concat"),
         up_impl=os.environ.get("UNET_UP", "convt"),
         conv_impl=os.environ.get("UNET_CONV", "xla"),
+        quant_int8=os.environ.get("UNET_INT8", "0") == "1",
     )
     print(f"unet variant: {variant}", flush=True)
     unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True, **variant)

@@ -1,0 +1,68 @@
+"""Per-level conv3x3_phase timing, bf16 vs int8, chained-loop methodology.
+
+Times the C=F conv (conv1 shape) at every pyramid level of the 1080p bench
+net — the output feeds back as the next input, giving a natural loop-carried
+dependence. K = 3F contracts, N = P*128 lanes: full-res is small-K/large-N,
+deep levels large-K/small-N, so this separates which regime int8 helps.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rtnr_tpu.ops.conv_phase import conv3x3_phase
+
+REPS = int(os.environ.get("BENCH_REPS", 20))
+
+
+def bench(h, P, F, quant):
+    rng = np.random.default_rng(0)
+    lb = P * 128
+    x0 = jnp.asarray(rng.normal(0, 1, ((h + 2) * F, lb)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(0, 0.05, (3, 3, F, F)).astype(np.float32))
+    b = jnp.zeros((F,), jnp.float32)
+    w = P * 120 if P * 120 <= lb else lb  # bench WU=120 at full res
+
+    @jax.jit
+    def run(x):
+        def body(i, x):
+            (y,) = conv3x3_phase([x], k, b, h=h, w=w, P=P, relu=True,
+                                 quant=quant)
+            return y * jnp.bfloat16(0.5)  # keep activations bounded
+
+        return jax.lax.fori_loop(0, REPS, body, x)
+
+    jax.block_until_ready(run(x0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(x0))
+    ms = (time.perf_counter() - t0) / REPS * 1e3
+    flops = 2 * 9 * F * F * h * w
+    return ms, flops / ms * 1e-9
+
+
+def main():
+    print(f"backend: {jax.devices()[0]}  reps={REPS}", flush=True)
+    levels = [
+        ("L0 full-res", 1088, 16, 64),
+        ("L1", 544, 8, 128),
+        ("L2", 272, 4, 256),
+        ("L3", 136, 2, 512),
+        ("bottleneck", 68, 1, 1024),
+    ]
+    for name, h, P, F in levels:
+        row = f"{name:12s} h={h:4d} P={P:2d} F={F:4d}:"
+        for quant in (False, True):
+            ms, tf = bench(h, P, F, quant)
+            row += f"  {'int8' if quant else 'bf16'} {ms:6.2f} ms ({tf:5.1f} TF/s)"
+        print(row, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,20 +23,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-ROWS = 64  # matmuls per kernel invocation
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+ROWS = 2048  # matmuls per kernel invocation (amortizes the ~2.5 ms floor)
 
 
 def make_mm(m, k, n, dtype, acc):
     def kernel(a_ref, b_ref, o_ref):
-        out = jnp.zeros((m, n), acc)
-        for _ in range(ROWS):
-            out = out + jax.lax.dot_general(
+        def body(i, out):
+            return out + jax.lax.dot_general(
                 a_ref[:], b_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc,
             )
-        o_ref[:] = out
+
+        o_ref[:] = jax.lax.fori_loop(0, ROWS, body, jnp.zeros((m, n), acc))
 
     @jax.jit
     def run(a, b):

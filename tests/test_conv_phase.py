@@ -178,3 +178,45 @@ def test_conv_phase_fused_up_bitexact(P_in):
     np.testing.assert_array_equal(
         np.asarray(got, np.float32), np.asarray(want, np.float32)
     )
+
+
+def test_conv_phase_int8_error_budget():
+    """int8 path (per-channel weights, per-lane dynamic activations):
+    bounded error vs the exact kernel, and exact zero where ReLU clamps."""
+    rng = np.random.default_rng(11)
+    h, w, P, C, F = 16, 64, 4, 16, 16
+    x = jnp.asarray(rng.normal(0, 1, (1, h, w, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, C, F)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (F,)).astype(np.float32))
+    xp = to_phase(x, P)
+    (y_ref,) = conv3x3_phase([xp], k, b, h=h, w=w, P=P, relu=True,
+                             interpret=True)
+    (y_q,) = conv3x3_phase([xp], k, b, h=h, w=w, P=P, relu=True,
+                           interpret=True, quant=True)
+    a = np.asarray(from_phase(y_ref, h, w, F, P), np.float32)
+    q = np.asarray(from_phase(y_q, h, w, F, P), np.float32)
+    scale = np.abs(a).max()
+    assert np.abs(a - q).max() <= 0.03 * scale
+    assert np.abs(a - q).mean() <= 0.005 * scale
+
+
+def test_conv_phase_int8_two_inputs_pool():
+    """int8 with the virtual-concat two-input form + fused pool."""
+    rng = np.random.default_rng(12)
+    h, w, P, C0, C1, F = 16, 64, 4, 16, 8, 16
+    xa = jnp.asarray(rng.normal(0, 1, (1, h, w, C0)).astype(np.float32))
+    xb = jnp.asarray(rng.normal(0, 1, (1, h, w, C1)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, C0 + C1, F)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (F,)).astype(np.float32))
+    pa, pb = to_phase(xa, P), to_phase(xb, P)
+    ref, ref_pool = conv3x3_phase([pa, pb], k, b, h=h, w=w, P=P, relu=True,
+                                  pool=True, interpret=True)
+    yq, yq_pool = conv3x3_phase([pa, pb], k, b, h=h, w=w, P=P, relu=True,
+                                pool=True, interpret=True, quant=True)
+    a = np.asarray(from_phase(ref, h, w, F, P), np.float32)
+    q = np.asarray(from_phase(yq, h, w, F, P), np.float32)
+    scale = np.abs(a).max()
+    assert np.abs(a - q).max() <= 0.03 * scale
+    ap = np.asarray(from_phase(ref_pool, h // 2, w // 2, F, P // 2), np.float32)
+    qp = np.asarray(from_phase(yq_pool, h // 2, w // 2, F, P // 2), np.float32)
+    assert np.abs(ap - qp).max() <= 0.03 * scale

@@ -106,3 +106,30 @@ def test_unet_split_batched_phase_path(monkeypatch):
     ya = run("xla", x)
     np.testing.assert_allclose(ya, yb, rtol=5e-2, atol=5e-2)
     assert np.abs(ya - yb).mean() < 5e-3
+
+
+def test_unet_split_int8_error_budget(monkeypatch):
+    """Whole-net int8 phase path: bounded error vs the exact phase path.
+    The input conv and head stay bf16 (quant_int8 skips them); everything
+    else runs per-channel-int8 weights + per-lane dynamic activations."""
+    monkeypatch.setenv("RTNR_SPLIT_FORCE", "1")
+    features = (16, 32)
+    H, W = 16, 32
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, raw = init_unet(jax.random.PRNGKey(0), H, W, features=features)
+    variables = fold_batchnorm(raw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 5), jnp.bfloat16)
+
+    def run(**kw):
+        net = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True,
+                   skip_concat="split", conv_impl="pallas", **kw)
+        return np.asarray(net.apply(variables, x), np.float32)
+
+    ya = run()
+    yq = run(quant_int8=True)
+    scale = max(np.abs(ya).max(), 1e-6)
+    # int8 error compounds over 2*len(features)+1 conv pairs; budget is a
+    # few percent of the output range (the reference's own shipped path is
+    # precision-degraded fp16 TensorRT, model/export_ts.py:16)
+    assert np.abs(ya - yq).max() <= 0.10 * scale
+    assert np.abs(ya - yq).mean() <= 0.02 * scale
