@@ -406,6 +406,12 @@ class UNet(nn.Module):
     # inference is precision-degraded fp16 TensorRT (model/export_ts.py:16).
     # Only affects the packed phase-planar path; XLA path ignores it.
     quant_int8: bool = False
+    # feature-width threshold above which a conv pair quantizes: the deep
+    # levels' large-K/small-N matmuls win 1.4-1.65x int8 on v5e while the
+    # full/half-res levels are epilogue/DMA-bound and only pay quant
+    # overhead (scripts/profile_conv_levels.py). Tests lower it to cover
+    # the int8 path at tiny widths.
+    quant_min_f: int = 256
 
     @nn.compact
     def __call__(
@@ -562,22 +568,31 @@ class UNet(nn.Module):
         # Kept as a measured foil: RTNR_FUSE_UP=1 enables it.
         no_fuse = _os.environ.get("RTNR_FUSE_UP") != "1"
 
+        # int8 only where it measures a win on v5e (quant_min_f crossover:
+        # deep large-K/small-N matmuls 1.4-1.65x; full/half-res levels are
+        # epilogue/DMA-bound and only pay quant overhead —
+        # scripts/profile_conv_levels.py, PROFILE_r04.md)
+        def qlv(f):
+            return self.quant_int8 and f >= self.quant_min_f
+
         q = self.quant_int8
 
         def one_frame(xp, h0, w0, c0):
             P, hs, ws, cc = P0, h0, w0, c0
             skips = []
             for i, f in enumerate(self.features):
+                qf = qlv(f)
                 skip, pooled = downs[i](
                     xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc,
                                           pool=True, interpret=interp,
-                                          quant=(q and i > 0, q)))
+                                          quant=(qf and i > 0, qf)))
                 skips.append(skip)
                 xp, P, hs, ws, cc = pooled, P // 2, hs // 2, ws // 2, f
 
+            qb = qlv(self.features[-1] * 2)
             (xp,) = bottleneck(
                 xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc,
-                                      interpret=interp, quant=(q, q)))
+                                      interpret=interp, quant=(qb, qb)))
             cc = self.features[-1] * 2
 
             for i, f in enumerate(reversed(self.features)):
@@ -588,13 +603,14 @@ class UNet(nn.Module):
                 # first conv when it fits VMEM in one F block (saves one
                 # full-res activation round trip through HBM); else run it
                 # standalone
+                qf = qlv(f)
                 if not no_fuse and fuse_up_ok(hs, 2 * P, f, f, cc, f):
                     P *= 2
                     (xp,) = updcs[i](
                         skips[-(i + 1)], False, x2=xp,
                         split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f,
                                    head=head, up=(kup, bup),
-                                   interpret=interp, quant=(False, q)))
+                                   interpret=interp, quant=(False, qf)))
                 else:
                     tr_t = 4 if (hs // 2) % 4 == 0 and cc < 512 else 2
                     xp = convt2x2_phase(
@@ -606,7 +622,7 @@ class UNet(nn.Module):
                         skips[-(i + 1)], False, x2=xp,
                         split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f,
                                    head=head, interpret=interp,
-                                   quant=(q, q)))
+                                   quant=(qf, qf)))
                 cc = f
             return from_phase(xp, h0, w0, 8, P)[..., : self.out_channels]
 

@@ -28,6 +28,7 @@ only. Semantics source: reference model/model.py:5-19 (DoubleConv),
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -346,32 +347,66 @@ def _conv_phase_kernel(
             A = mm(w_lhs, rhs)  # (3*FB, LB) f32
             A0, A1, A2 = A[0:FB, :], A[FB : 2 * FB, :], A[2 * FB :, :]
 
-        # left tap x-1: phase p-1 same u, or (phase P-1, u-1) at p==0
-        if P > 1:
-            left = jnp.where(
-                p > 0,
-                pltpu.roll(A0, WS, axis=1),
-                pltpu.roll(A0, (LB + 1 - (P - 1) * WS) % LB, axis=1),
-            )
+        # timing ablation knob (scripts/profile_conv_levels.py): "noroll"
+        # drops the dx taps entirely (WRONG VALUES — upper bound only);
+        # "bf16" runs the tap-combine epilogue in bf16
+        abl = os.environ.get("RTNR_PHASE_ABLATE", "")
+        if abl == "noroll":
+            y = A1 + bias
+            if relu:
+                y = jnp.maximum(y, zero)
+            y = jnp.where(u < WU, y, zero)
+        elif abl == "bf16":
+            A0b = A0.astype(jnp.bfloat16)
+            A1b = A1.astype(jnp.bfloat16)
+            A2b = A2.astype(jnp.bfloat16)
+            zb = jnp.bfloat16(0)
+            if P > 1:
+                left = jnp.where(
+                    p > 0,
+                    pltpu.roll(A0b, WS, axis=1),
+                    pltpu.roll(A0b, (LB + 1 - (P - 1) * WS) % LB, axis=1),
+                )
+                right = jnp.where(
+                    p < P - 1,
+                    pltpu.roll(A2b, LB - WS, axis=1),
+                    pltpu.roll(A2b, ((P - 1) * WS - 1) % LB, axis=1),
+                )
+            else:
+                left = pltpu.roll(A0b, 1, axis=1)
+                right = pltpu.roll(A2b, LB - 1, axis=1)
+            y = (A1b + jnp.where(not_x0, left, zb)
+                 + jnp.where(not_xl, right, zb) + bias.astype(jnp.bfloat16))
+            if relu:
+                y = jnp.maximum(y, zb)
+            y = jnp.where(u < WU, y, zb)
         else:
-            left = pltpu.roll(A0, 1, axis=1)
-        y = A1 + jnp.where(not_x0, left, zero)
+            # left tap x-1: phase p-1 same u, or (phase P-1, u-1) at p==0
+            if P > 1:
+                left = jnp.where(
+                    p > 0,
+                    pltpu.roll(A0, WS, axis=1),
+                    pltpu.roll(A0, (LB + 1 - (P - 1) * WS) % LB, axis=1),
+                )
+            else:
+                left = pltpu.roll(A0, 1, axis=1)
+            y = A1 + jnp.where(not_x0, left, zero)
 
-        # right tap x+1: phase p+1 same u, or (phase 0, u+1) at p==P-1
-        if P > 1:
-            right = jnp.where(
-                p < P - 1,
-                pltpu.roll(A2, LB - WS, axis=1),
-                pltpu.roll(A2, ((P - 1) * WS - 1) % LB, axis=1),
-            )
-        else:
-            right = pltpu.roll(A2, LB - 1, axis=1)
-        y = y + jnp.where(not_xl, right, zero)
+            # right tap x+1: phase p+1 same u, or (phase 0, u+1) at p==P-1
+            if P > 1:
+                right = jnp.where(
+                    p < P - 1,
+                    pltpu.roll(A2, LB - WS, axis=1),
+                    pltpu.roll(A2, ((P - 1) * WS - 1) % LB, axis=1),
+                )
+            else:
+                right = pltpu.roll(A2, LB - 1, axis=1)
+            y = y + jnp.where(not_xl, right, zero)
 
-        y = y + bias
-        if relu:
-            y = jnp.maximum(y, zero)
-        y = jnp.where(u < WU, y, zero)
+            y = y + bias
+            if relu:
+                y = jnp.maximum(y, zero)
+            y = jnp.where(u < WU, y, zero)
 
         if head:  # n_fb == 1 (asserted by the wrapper)
             y = mm(h2, y.astype(jnp.bfloat16)) + hb

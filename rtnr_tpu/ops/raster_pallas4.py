@@ -31,6 +31,7 @@ source: reference render.cu:53-163 (see ops/raster.py docstring).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -43,6 +44,89 @@ from rtnr_tpu.ops.raster import SortedPoints
 _REAL_BIT = 1 << 24
 _I32 = jnp.int32
 _FLT_MAX_BITS = 0x7F7FFFFF
+
+
+def _place_rows(vals, d_row, NQ, int8: bool):
+    """Factored one-hot placement shared by the winners/expansion kernels.
+
+    ``vals``: list of (1, W) i32 value rows; ``d_row``: (1, W) destination
+    slot in [0, NQ*128) for placed elements, -1 otherwise (slots unique).
+    Returns one (NQ>1: (1, NQ*128), else (NQ, 128)->(1,128)) i32 row per
+    value with each element at its slot, 0 elsewhere.
+
+    ``int8=True`` runs the one-hot matmul on the int8 MXU (2x bf16 peak on
+    v5e): byte planes are stored offset by -128 so they fit int8, and an
+    occupancy row (one-hot matmul of ones) restores the +128 exactly at
+    placed slots — bit-identical results to the bf16 byte-plane path.
+    """
+    W = d_row.shape[1]
+    q_iota = jax.lax.broadcasted_iota(_I32, (NQ, W), 0)
+    hit = (d_row >> 7) == q_iota  # (NQ, W); rows select 128-blocks
+    d_col = d_row.reshape(W, 1)
+    Rm = ((d_col & 127) == jax.lax.broadcasted_iota(_I32, (W, 128), 1)) & (
+        d_col >= 0
+    )
+    nv = len(vals)
+    if int8:
+        blocks = []
+        for v in vals:
+            for shift in (0, 8, 16, 24):
+                b = ((v >> shift) & 255) - 128
+                blocks.append(jnp.where(hit, b, 0).astype(jnp.int8))
+        blocks.append(hit.astype(jnp.int8))  # occupancy
+        B = jnp.concatenate(blocks, axis=0)  # ((4*nv+1)*NQ, W)
+        placed = jax.lax.dot_general(
+            B, Rm.astype(jnp.int8),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=_I32,
+        )
+        occ = placed[4 * nv * NQ :]
+
+        def plane(k):
+            return placed[k * NQ : (k + 1) * NQ] + 128 * occ
+
+    else:
+        Q = hit.astype(jnp.bfloat16)
+        rows = [
+            ((v >> shift) & 255).astype(jnp.bfloat16)
+            for v in vals
+            for shift in (0, 8, 16, 24)
+        ]
+        B = jnp.concatenate([rb * Q for rb in rows], axis=0)  # (4*nv*NQ, W)
+        placed = jax.lax.dot_general(
+            B, Rm.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(_I32)
+
+        def plane(k):
+            return placed[k * NQ : (k + 1) * NQ]
+
+    out_rows = []
+    rq_i = jax.lax.broadcasted_iota(_I32, (NQ, 128), 0)
+    for jj in range(nv):
+        vblk = (
+            plane(4 * jj)
+            | (plane(4 * jj + 1) << 8)
+            | (plane(4 * jj + 2) << 16)
+            | (plane(4 * jj + 3) << 24)
+        )
+        # row-q extraction as a masked sublane REDUCTION: lazy sublane
+        # rolls keep a layout offset Mosaic's lane-concat rejects
+        # ("offset mismatch on non-concat dimension")
+        out_rows.append(
+            jnp.concatenate(
+                [
+                    jnp.sum(jnp.where(rq_i == q, vblk, 0), axis=0,
+                            keepdims=True)
+                    for q in range(NQ)
+                ],
+                axis=1,
+            )
+            if NQ > 1
+            else vblk
+        )
+    return out_rows
 
 
 def _winners_kernel4(
@@ -65,6 +149,7 @@ def _winners_kernel4(
     S: int,
     hw: int,
     depth_band: float,
+    place_int8: bool = False,
 ):
     L = 8 * Lc
     p = pl.program_id(0)
@@ -265,50 +350,8 @@ def _winners_kernel4(
             vals = (SUM[c : c + 1, sl], SUM[8 + c : 9 + c, sl],
                     SUM[16 + c : 17 + c, sl], SUM[24 + c : 25 + c, sl],
                     h_zb[c : c + 1, sl], pix[c : c + 1, sl])
-            rows = []
-            for v in vals:
-                for shift in (0, 8, 16, 24):
-                    rows.append(((v >> shift) & 255).astype(jnp.bfloat16))
-
             d_row = sl_sub - o_sub  # winners: in [0, k_c)
-            q_iota = jax.lax.broadcasted_iota(_I32, (NQ, S), 0)
-            Q = ((d_row >> 7) == q_iota).astype(jnp.bfloat16)
-            d_col = d_row.reshape(S, 1)
-            R = (
-                ((d_col & 127) == jax.lax.broadcasted_iota(_I32, (S, 128), 1))
-                & (d_col >= 0)
-            ).astype(jnp.bfloat16)
-            B = jnp.concatenate([rb * Q for rb in rows], axis=0)  # (24*NQ, S)
-            placed = jax.lax.dot_general(
-                B, R,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            placed_i = placed.astype(_I32)  # (24*NQ, 128)
-            out_rows = []
-            for jj in range(6):
-                vblk = (
-                    placed_i[(4 * jj) * NQ : (4 * jj + 1) * NQ]
-                    | (placed_i[(4 * jj + 1) * NQ : (4 * jj + 2) * NQ] << 8)
-                    | (placed_i[(4 * jj + 2) * NQ : (4 * jj + 3) * NQ] << 16)
-                    | (placed_i[(4 * jj + 3) * NQ : (4 * jj + 4) * NQ] << 24)
-                )
-                # row-q extraction as a masked sublane REDUCTION: lazy
-                # sublane rolls keep a layout offset Mosaic's lane-concat
-                # rejects ("offset mismatch on non-concat dimension")
-                rq_i = jax.lax.broadcasted_iota(_I32, (NQ, 128), 0)
-                out_rows.append(
-                    jnp.concatenate(
-                        [
-                            jnp.sum(jnp.where(rq_i == q, vblk, 0), axis=0,
-                                    keepdims=True)
-                            for q in range(NQ)
-                        ],
-                        axis=1,
-                    )
-                    if NQ > 1
-                    else vblk
-                )
+            out_rows = _place_rows(list(vals), d_row, NQ, place_int8)
             out8 = jnp.concatenate(out_rows + [jnp.zeros((2, S), _I32)], axis=0)
 
             q = r_part + o_sub
@@ -384,6 +427,7 @@ def _expand_kernel4(
     SE: int,
     hw: int,
     packed_out: bool = False,
+    place_int8: bool = False,
 ):
     p = pl.program_id(0)
     PB = pl.num_programs(0)
@@ -446,46 +490,7 @@ def _expand_kernel4(
         gidx = s_al + lo_al + jax.lax.broadcasted_iota(_I32, (1, SW), 1)
         valid = (wpix >= base) & (wpix < base + SE) & (wpix < hw) & (gidx < total)
         d_row = jnp.where(valid, wpix - base, _I32(-1))  # (1, SW)
-
-        q_iota = jax.lax.broadcasted_iota(_I32, (NQ, SW), 0)
-        Q = ((d_row >> 7) == q_iota).astype(jnp.bfloat16)
-        d_col = d_row.reshape(SW, 1)
-        R = (
-            ((d_col & 127) == jax.lax.broadcasted_iota(_I32, (SW, 128), 1))
-            & (d_col >= 0)
-        ).astype(jnp.bfloat16)
-        rows = []
-        for v in vrows[:5]:
-            for shift in (0, 8, 16, 24):
-                rows.append(((v >> shift) & 255).astype(jnp.bfloat16))
-        B = jnp.concatenate([rb * Q for rb in rows], axis=0)  # (20*NQ, SW)
-        placed = jax.lax.dot_general(
-            B, R,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        placed_i = placed.astype(_I32)  # (20*NQ, 128)
-        out_rows = []
-        for jj in range(5):
-            vblk = (
-                placed_i[(4 * jj) * NQ : (4 * jj + 1) * NQ]
-                | (placed_i[(4 * jj + 1) * NQ : (4 * jj + 2) * NQ] << 8)
-                | (placed_i[(4 * jj + 2) * NQ : (4 * jj + 3) * NQ] << 16)
-                | (placed_i[(4 * jj + 3) * NQ : (4 * jj + 4) * NQ] << 24)
-            )
-            rq_i = jax.lax.broadcasted_iota(_I32, (NQ, 128), 0)
-            out_rows.append(
-                jnp.concatenate(
-                    [
-                        jnp.sum(jnp.where(rq_i == q, vblk, 0), axis=0,
-                                keepdims=True)
-                        for q in range(NQ)
-                    ],
-                    axis=1,
-                )
-                if NQ > 1
-                else vblk
-            )
+        out_rows = _place_rows(list(vrows[:5]), d_row, NQ, place_int8)
         # empty pixels: count==0 -> depth = FLT_MAX bits (reference seed,
         # project_cloud.cu:316); color sums stay 0
         depth = jnp.where(out_rows[3] > 0, out_rows[4], _I32(_FLT_MAX_BITS))
@@ -539,12 +544,15 @@ def raster_images_pallas4(
     expand_sub: int = 1024,
     packed_out: bool = False,
     interpret: bool = False,
+    place_int8: bool = None,
 ):
     """Dense (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) from a
     CARRIER-FREE (pixel, depth)-sorted point stream (ops/raster.py
     ``project_and_sort(..., carriers=False)``). With ``packed_out`` the
     integer-average resolve runs inside the expansion kernel and the return
     is (packed rgb r|g<<8|b<<16 (HW,) i32, depth (HW,) f32)."""
+    if place_int8 is None:
+        place_int8 = os.environ.get("RTNR_PLACE_INT8", "0") == "1"
     m = sp.pix.shape[0]
     L = part_size
     assert L % 8 == 0
@@ -583,7 +591,8 @@ def raster_images_pallas4(
     out_w = hw + L + 2048
 
     wimg = pl.pallas_call(
-        functools.partial(_winners_kernel4, Lc=Lc, S=S, hw=hw, depth_band=depth_band),
+        functools.partial(_winners_kernel4, Lc=Lc, S=S, hw=hw,
+                          depth_band=depth_band, place_int8=place_int8),
         out_shape=jax.ShapeDtypeStruct((8, out_w), jnp.int32),
         grid=(P,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
@@ -607,7 +616,8 @@ def raster_images_pallas4(
     # starts are found in-kernel; only PB scalars ride SMEM prefetch)
     total = jnp.sum((sp.is_head & sp.ok).astype(jnp.int32))
     return expand_winners(wimg, total, hw, PL=PL, SE=SE,
-                          packed_out=packed_out, interpret=interpret)
+                          packed_out=packed_out, interpret=interpret,
+                          place_int8=place_int8)
 
 
 def expand_winners(
@@ -619,11 +629,14 @@ def expand_winners(
     SE: int = 1024,
     packed_out: bool = False,
     interpret: bool = False,
+    place_int8: bool = None,
 ):
     """Expansion stage shared by the v4/v5 winner kernels: scatter the
     compacted, pixel-sorted winner stream ``wimg`` (8, out_w) — rows
     r,g,b,count,zbits,pix by winner rank, ``total`` winners — to the dense
     (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) images."""
+    if place_int8 is None:
+        place_int8 = os.environ.get("RTNR_PLACE_INT8", "0") == "1"
     out_w = wimg.shape[1]
     PB = -(-hw // PL)
     lanes = jnp.arange(out_w, dtype=jnp.int32)
@@ -633,7 +646,7 @@ def expand_winners(
 
     img = pl.pallas_call(
         functools.partial(_expand_kernel4, PL=PL, SE=SE, hw=hw,
-                          packed_out=packed_out),
+                          packed_out=packed_out, place_int8=place_int8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(PB,),

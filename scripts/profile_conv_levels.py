@@ -23,6 +23,9 @@ REPS = int(os.environ.get("BENCH_REPS", 20))
 
 
 def bench(h, P, F, quant):
+    """Marginal per-conv cost: (time at 3 convs/iter - time at 1)/2 —
+    differencing removes the per-iteration floor this backend carries on
+    isolated loops (CLAUDE.md timing notes)."""
     rng = np.random.default_rng(0)
     lb = P * 128
     x0 = jnp.asarray(rng.normal(0, 1, ((h + 2) * F, lb)), jnp.bfloat16)
@@ -30,19 +33,24 @@ def bench(h, P, F, quant):
     b = jnp.zeros((F,), jnp.float32)
     w = P * 120 if P * 120 <= lb else lb  # bench WU=120 at full res
 
-    @jax.jit
-    def run(x):
-        def body(i, x):
-            (y,) = conv3x3_phase([x], k, b, h=h, w=w, P=P, relu=True,
-                                 quant=quant)
-            return y * jnp.bfloat16(0.5)  # keep activations bounded
+    def timed(n_inner):
+        @jax.jit
+        def run(x):
+            def body(i, x):
+                for _ in range(n_inner):
+                    (x,) = conv3x3_phase([x], k, b, h=h, w=w, P=P, relu=True,
+                                         quant=quant)
+                    x = x * jnp.bfloat16(0.5)  # keep activations bounded
+                return x
 
-        return jax.lax.fori_loop(0, REPS, body, x)
+            return jax.lax.fori_loop(0, REPS, body, x)
 
-    jax.block_until_ready(run(x0))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(x0))
-    ms = (time.perf_counter() - t0) / REPS * 1e3
+        jax.block_until_ready(run(x0))
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x0))
+        return (time.perf_counter() - t0) / REPS * 1e3
+
+    ms = (timed(3) - timed(1)) / 2
     flops = 2 * 9 * F * F * h * w
     return ms, flops / ms * 1e-9
 
@@ -56,6 +64,10 @@ def main():
         ("L3", 136, 2, 512),
         ("bottleneck", 68, 1, 1024),
     ]
+    only = os.environ.get("LEVELS")
+    if only:
+        keep = set(only.split(","))
+        levels = [lv for lv in levels if lv[0].split()[0] in keep]
     for name, h, P, F in levels:
         row = f"{name:12s} h={h:4d} P={P:2d} F={F:4d}:"
         for quant in (False, True):

@@ -58,14 +58,22 @@ def main():
     base = dict(part_size=16384, sub_chunk=2048, expand_part=16384,
                 expand_sub=1024)
     print(f"default {base}: {timed(**base):7.2f} ms", flush=True)
-    for kw in (
-        dict(part_size=32768, sub_chunk=2048, expand_part=32768,
-             expand_sub=1024),
-        dict(part_size=32768, sub_chunk=4096, expand_part=32768,
-             expand_sub=2048),
-        dict(part_size=8192, sub_chunk=1024, expand_part=8192,
-             expand_sub=1024),
-    ):
+    import json
+    cases = os.environ.get("RESOLVE_CASES")
+    if cases:
+        case_list = [dict(zip(("part_size", "sub_chunk", "expand_part",
+                               "expand_sub"), c))
+                     for c in json.loads(cases)]
+    else:
+        case_list = [
+            dict(part_size=32768, sub_chunk=2048, expand_part=32768,
+                 expand_sub=1024),
+            dict(part_size=32768, sub_chunk=4096, expand_part=32768,
+                 expand_sub=2048),
+            dict(part_size=8192, sub_chunk=1024, expand_part=8192,
+                 expand_sub=1024),
+        ]
+    for kw in case_list:
         print(f"{kw}: {timed(**kw):7.2f} ms", flush=True)
 
 
