@@ -40,6 +40,15 @@ class RenderConfig:
     # "f32" is used for parity testing against the fp32 oracle.
     unet_dtype: str = "bf16"
 
+    # int8 inference for the packed phase-planar U-Net path (v5e MXU int8
+    # is 2x bf16 peak): "off" (exact bf16), "dyn" (in-kernel per-lane
+    # activation quant, deep levels only), "static" (calibrated per-layer
+    # scales + int8 activations in HBM — fastest; the Renderer calibrates
+    # on the first rendered frame). Approximate (~1-3% relative); the
+    # reference's own shipped inference is precision-degraded fp16
+    # TensorRT (model/export_ts.py:16).
+    unet_int8: str = "off"
+
     # Per-stage wall-time reporting (the reference's per-frame RENDER_TIME
     # print, project_cloud.cu:490): runs projection / prefilter / U-Net as
     # three synchronized device programs instead of one fused executable.

@@ -289,7 +289,10 @@ class DoubleConv(nn.Module):
             # deep activation and the decoder's ConvTranspose fuses into
             # conv0 (ops/conv_phase.py fused-up path).
             # split["quant"] = (q0, q1) routes either conv through the int8
-            # MXU path (per-channel weights, per-lane dynamic activations).
+            # MXU path with per-lane DYNAMIC activations; split["q0"]/"q1"
+            # carry full static-int8 configs (quant/in_scales/out_scale)
+            # for the calibrated pipeline; split["calibrate"] records each
+            # conv's activation max via flax sow for that calibration.
             from rtnr_tpu.ops.conv_phase import conv3x3_phase
 
             assert self.fold_bn and not train
@@ -300,6 +303,9 @@ class DoubleConv(nn.Module):
             interp = split.get("interpret", False)
             up = split.get("up")
             q0, q1 = split.get("quant", (False, False))
+            kw0 = split.get("q0") or dict(quant=q0 and up is None)
+            kw1 = split.get("q1") or dict(quant=q1)
+            cal = split.get("calibrate", False)
             f = self.features
             k0, b0 = ConvParams((3, 3, cin, f), name="conv0")()
             arrs = [x] + ([x2] if x2 is not None else [])
@@ -307,19 +313,24 @@ class DoubleConv(nn.Module):
                 arrs, k0, b0,
                 up_kernel=None if up is None else up[0],
                 up_bias=None if up is None else up[1],
-                h=h, w=w, P=P, relu=True, interpret=interp,
-                quant=q0 and up is None,
+                h=h, w=w, P=P, relu=True, interpret=interp, **kw0,
             )
+            if cal:
+                self.sow("intermediates", "c0",
+                         jnp.max(jnp.abs(y.astype(jnp.float32))))
             k1, b1 = ConvParams((3, 3, f, f), name="conv1")()
             head = split.get("head")
             pool = split.get("pool", False)
-            return conv3x3_phase(
+            outs = conv3x3_phase(
                 [y], k1, b1,
                 head_kernel=None if head is None else head[0],
                 head_bias=None if head is None else head[1],
-                h=h, w=w, P=P, relu=True, pool=pool, interpret=interp,
-                quant=q1,
+                h=h, w=w, P=P, relu=True, pool=pool, interpret=interp, **kw1,
             )
+            if cal and head is None:
+                self.sow("intermediates", "c1",
+                         jnp.max(jnp.abs(outs[0].astype(jnp.float32))))
+            return outs
         for i in range(2):
             if i == 0 and x2 is not None:
                 x = ConvSplitInput(
@@ -419,6 +430,8 @@ class UNet(nn.Module):
         x: Optional[jax.Array],
         train: bool = False,
         x_phase: Optional[Tuple[jax.Array, int, int, int]] = None,
+        act_scales: Optional[dict] = None,
+        calibrate: bool = False,
     ) -> jax.Array:
         import os
 
@@ -431,7 +444,9 @@ class UNet(nn.Module):
             interp = force and jax.default_backend() != "tpu"
             assert phase_input_ok(self, h0, w0, force=force)
             return self._phase_forward(None, 1 << n_lv, interp,
-                                       packed=(xp, h0, w0, c0))
+                                       packed=(xp, h0, w0, c0),
+                                       act_scales=act_scales,
+                                       calibrate=calibrate)
 
         x = x.astype(self.dtype)
         # Packed phase-planar U-Net (ops/conv_phase.py): EVERY level's conv
@@ -456,7 +471,9 @@ class UNet(nn.Module):
             # per-frame cost equals the single-image fast path, which beats
             # the XLA-conv fallback ~1.7x at deployment shapes
             # (PROFILE_r02.md)
-            return self._phase_forward(x, P0, interp)
+            return self._phase_forward(x, P0, interp,
+                                       act_scales=act_scales,
+                                       calibrate=calibrate)
 
         skips = []
         for i, f in enumerate(self.features):
@@ -510,6 +527,8 @@ class UNet(nn.Module):
         P0: int,
         interp: bool,
         packed: Optional[Tuple[jax.Array, int, int, int]] = None,
+        act_scales: Optional[dict] = None,
+        calibrate: bool = False,
     ) -> jax.Array:
         """Whole-net packed phase-planar forward (inference, folded BN).
         Parameter tree is identical to the XLA path's (ConvParams mirrors
@@ -568,66 +587,158 @@ class UNet(nn.Module):
         # Kept as a measured foil: RTNR_FUSE_UP=1 enables it.
         no_fuse = _os.environ.get("RTNR_FUSE_UP") != "1"
 
-        # int8 only where it measures a win on v5e (quant_min_f crossover:
-        # deep large-K/small-N matmuls 1.4-1.65x; full/half-res levels are
-        # epilogue/DMA-bound and only pay quant overhead —
-        # scripts/profile_conv_levels.py, PROFILE_r04.md)
+        # int8 modes (only the packed phase path):
+        # - STATIC (act_scales given): int8 activations in HBM with
+        #   per-layer calibrated scales — every conv pair and ConvTranspose
+        #   quantizes except the 5ch input conv's input side and the final
+        #   head; halves activation traffic and skips in-kernel act quant.
+        # - DYNAMIC (no act_scales): bf16 activations, in-kernel per-lane
+        #   quant, applied only above quant_min_f where it measures a win
+        #   (deep large-K/small-N matmuls 1.4-1.65x on v5e; full/half-res
+        #   levels are epilogue/DMA-bound — scripts/profile_conv_levels.py).
+        # ``calibrate`` records every activation max via sow("intermediates")
+        # for calibrate_act_scales.
         def qlv(f):
             return self.quant_int8 and f >= self.quant_min_f
 
         q = self.quant_int8
+        static = q and act_scales is not None
 
         def one_frame(xp, h0, w0, c0):
             P, hs, ws, cc = P0, h0, w0, c0
+            n_last = len(self.features) - 1
+
+            def sc(key):
+                return act_scales[key]
+
+            def st(in_keys, out_key):
+                return dict(
+                    quant="static",
+                    in_scales=tuple(sc(k) for k in in_keys),
+                    out_scale=None if out_key is None else sc(out_key),
+                )
+
             skips = []
             for i, f in enumerate(self.features):
-                qf = qlv(f)
+                if static:
+                    qcfg = dict(
+                        q0=(dict(quant="", out_scale=sc(f"down{i}/c0"))
+                            if i == 0 else
+                            st((f"down{i - 1}/c1",), f"down{i}/c0")),
+                        q1=st((f"down{i}/c0",), f"down{i}/c1"),
+                    )
+                else:
+                    qf = qlv(f)
+                    qcfg = dict(quant=(qf and i > 0, qf))
                 skip, pooled = downs[i](
                     xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc,
                                           pool=True, interpret=interp,
-                                          quant=(qf and i > 0, qf)))
+                                          calibrate=calibrate, **qcfg))
                 skips.append(skip)
                 xp, P, hs, ws, cc = pooled, P // 2, hs // 2, ws // 2, f
 
-            qb = qlv(self.features[-1] * 2)
+            if static:
+                qcfg = dict(
+                    q0=st((f"down{n_last}/c1",), "bottleneck/c0"),
+                    q1=st(("bottleneck/c0",), "bottleneck/c1"),
+                )
+            else:
+                qb = qlv(self.features[-1] * 2)
+                qcfg = dict(quant=(qb, qb))
             (xp,) = bottleneck(
                 xp, False, split=dict(h=hs, w=ws, P=P, c_in=cc,
-                                      interpret=interp, quant=(qb, qb)))
+                                      interpret=interp, calibrate=calibrate,
+                                      **qcfg))
             cc = self.features[-1] * 2
 
             for i, f in enumerate(reversed(self.features)):
                 kup, bup = up_params[i]
                 hs, ws = hs * 2, ws * 2
-                head = final_head if i == len(self.features) - 1 else None
+                last = i == len(self.features) - 1
+                head = final_head if last else None
                 # fuse the ConvTranspose into the following conv pair's
                 # first conv when it fits VMEM in one F block (saves one
                 # full-res activation round trip through HBM); else run it
                 # standalone
                 qf = qlv(f)
-                if not no_fuse and fuse_up_ok(hs, 2 * P, f, f, cc, f):
+                skip_key = f"down{n_last - i}/c1"
+                prev_key = ("bottleneck/c1" if i == 0
+                            else f"updc{i - 1}/c1")
+                if (not static and not no_fuse
+                        and fuse_up_ok(hs, 2 * P, f, f, cc, f)):
                     P *= 2
                     (xp,) = updcs[i](
                         skips[-(i + 1)], False, x2=xp,
                         split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f,
                                    head=head, up=(kup, bup),
-                                   interpret=interp, quant=(False, qf)))
+                                   interpret=interp, calibrate=calibrate,
+                                   quant=(False, qf)))
                 else:
                     tr_t = 4 if (hs // 2) % 4 == 0 and cc < 512 else 2
+                    tkw = {}
+                    if static:
+                        tkw = dict(quant="static",
+                                   in_scale=sc(prev_key),
+                                   out_scale=sc(f"u{i}t"))
                     xp = convt2x2_phase(
                         xp, kup, bup, h=hs, w=ws, P=P, rows_per_step=tr_t,
-                        interpret=interp,
+                        interpret=interp, **tkw,
                     )
+                    if calibrate:
+                        self.sow("intermediates", f"u{i}t",
+                                 jnp.max(jnp.abs(xp.astype(jnp.float32))))
                     P *= 2
+                    if static:
+                        qcfg = dict(
+                            q0=st((skip_key, f"u{i}t"), f"updc{i}/c0"),
+                            q1=st((f"updc{i}/c0",),
+                                  None if last else f"updc{i}/c1"),
+                        )
+                    else:
+                        qcfg = dict(quant=(qf, qf))
                     (xp,) = updcs[i](
                         skips[-(i + 1)], False, x2=xp,
                         split=dict(h=hs, w=ws, P=P, c_in=f, c_in2=f,
                                    head=head, interpret=interp,
-                                   quant=(qf, qf)))
+                                   calibrate=calibrate, **qcfg))
                 cc = f
             return from_phase(xp, h0, w0, 8, P)[..., : self.out_channels]
 
         outs = [one_frame(*fr) for fr in frames]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def calibrate_act_scales(
+    unet: UNet,
+    variables: dict,
+    x: Optional[jax.Array] = None,
+    x_phase: Optional[Tuple[jax.Array, int, int, int]] = None,
+) -> dict:
+    """One exact (bf16) phase-path forward on a representative input,
+    recording every intermediate activation's max -> per-layer symmetric
+    int8 scales for the static quantized pipeline (UNet.quant_int8 +
+    act_scales). Run with a bf16-configured ``unet`` (same features);
+    scales transfer to the quantized net. Outliers beyond the calibration
+    input's range saturate at the int8 clip — the standard trade the
+    reference's own fp16 TensorRT export makes (model/export_ts.py:16)."""
+    from flax import traverse_util
+
+    bf16 = unet.clone(quant_int8=False) if unet.quant_int8 else unet
+    _, mut = bf16.apply(
+        variables, x, x_phase=x_phase, calibrate=True,
+        mutable=["intermediates"],
+    )
+    flat = traverse_util.flatten_dict(mut["intermediates"])
+    scales = {}
+    for path, v in flat.items():
+        vals = v if isinstance(v, tuple) else (v,)
+        m = vals[0]
+        for extra in vals[1:]:
+            m = jnp.maximum(m, extra)
+        scales["/".join(path)] = (
+            jnp.maximum(m, jnp.float32(1e-8)) * jnp.float32(1.0 / 127.0)
+        )
+    return scales
 
 
 def init_unet(

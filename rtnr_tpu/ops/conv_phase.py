@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +82,8 @@ def _conv_phase_kernel(
     head: bool,
     up_cd: int = 0,  # fused ConvTranspose: deep input channel count (0 = off)
     up_h: int = 0,  # output height (up-row zero-pad bounds)
-    quant: bool = False,  # int8 weights + per-lane dynamic activation quant
+    quant: str = "",  # "" exact | "dyn" in-kernel act quant | "static"
+    out_q: bool = False,  # quantize the output to int8 (static scale)
 ):
     nw = 1 + int(head)
     upc = up_cd > 0
@@ -91,7 +92,9 @@ def _conv_phase_kernel(
     w_hbm = next(it)
     h_hbm = next(it) if head else None
     b_hbm = next(it)
-    ws_hbm = next(it) if quant else None  # (F, 128) f32 per-channel w scales
+    # (F+8, 128) f32: rows 0..F-1 per-channel weight scales (static mode:
+    # pre-multiplied by the input activation scale); row F = 1/out_scale
+    ws_hbm = next(it) if (quant or out_q) else None
     wt_hbm = next(it) if upc else None
     bt_hbm = next(it) if upc else None
     o_hbm = next(it)
@@ -100,12 +103,12 @@ def _conv_phase_kernel(
     w_v = next(it)
     h_v = next(it) if head else None
     b_v = next(it)
-    ws_v = next(it) if quant else None
+    ws_v = next(it) if (quant or out_q) else None
     if upc:
         wt_v = next(it)
         bt_v = next(it)
         up_v = next(it)
-    xq_v = [next(it) for _ in range(n_in)] if quant else None
+    xq_v = [next(it) for _ in range(n_in)] if quant == "dyn" else None
     y_v = next(it)
     p_v = next(it) if pool else None
     z_v = next(it)
@@ -161,7 +164,7 @@ def _conv_phase_kernel(
             cp = pltpu.make_async_copy(h_hbm, h_v, wb_sem)
             cp.start()
             cp.wait()
-        if quant:
+        if quant or out_q:
             cp = pltpu.make_async_copy(ws_hbm, ws_v, wb_sem)
             cp.start()
             cp.wait()
@@ -175,7 +178,7 @@ def _conv_phase_kernel(
         cp = pltpu.make_async_copy(b_hbm, b_v, wb_sem)
         cp.start()
         cp.wait()
-        z_v[:, :] = jnp.zeros((FB, LB), jnp.bfloat16)
+        z_v[:, :] = jnp.zeros((FB, LB), z_v.dtype)
 
     @pl.when(g == 0)
     def _():
@@ -297,7 +300,7 @@ def _conv_phase_kernel(
     # and dequantizes the int32 accumulator BEFORE the tap rolls (a rolled
     # lane's value came from a different column scale, so scaling must
     # precede the roll). Weights carry per-output-channel scales (ws_v).
-    if quant:
+    if quant == "dyn":
         amax = None
         for i in range(n_in):
             wf = jnp.abs(xs_v[i][slot][:, :].astype(jnp.float32))
@@ -312,13 +315,62 @@ def _conv_phase_kernel(
             ).astype(jnp.int8)
         wsb = ws_v[pl.ds(fb * FB, FB), 0:1]  # (FB, 1) f32
         dq = wsb * sxf  # (FB, LB) combined dequant scale
+    elif quant == "static":
+        # per-channel weight scale x input activation scale (pre-folded by
+        # the wrapper); a single per-output-row dequant after the i32
+        # tap combine (uniform per-tensor act scale commutes with rolls)
+        dq = ws_v[pl.ds(fb * FB, FB), 0:1]  # (FB, 1) f32
+    # out_q: 1/out_scale is pre-folded into the dequant scales and bias by
+    # the wrapper (a (1,1)->(FB,LB) broadcast is unsupported by Mosaic), so
+    # quantizing the output is just rint+clip
 
     # one matmul per image row directly on the fetched window — rows
     # [t*C, (t+3)*C) of the block ARE the dy-stacked taps, so no P matrix
     # is ever materialized (saves a (3C, TR*LB) VPU copy per step)
     y_ts = []
     for t in range(TR):
-        if quant:
+        skip_tail = False
+        if quant == "static":
+            # int8 window straight from HBM (no in-kernel quantize pass);
+            # tap combine entirely in i32 — the uniform activation scale
+            # commutes with the lane rolls — then ONE fused dequant.
+            if n_in == 1:
+                rhs_q = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
+            else:
+                rhs_q = jnp.concatenate(
+                    [xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
+                     for i in range(n_in)],
+                    axis=0,
+                )
+            Ai = jax.lax.dot_general(
+                w_lhs, rhs_q,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (3*FB, LB) i32
+            A0i, A1i, A2i = Ai[0:FB, :], Ai[FB : 2 * FB, :], Ai[2 * FB :, :]
+            iz = jnp.int32(0)
+            if P > 1:
+                left_i = jnp.where(
+                    p > 0,
+                    pltpu.roll(A0i, WS, axis=1),
+                    pltpu.roll(A0i, (LB + 1 - (P - 1) * WS) % LB, axis=1),
+                )
+                right_i = jnp.where(
+                    p < P - 1,
+                    pltpu.roll(A2i, LB - WS, axis=1),
+                    pltpu.roll(A2i, ((P - 1) * WS - 1) % LB, axis=1),
+                )
+            else:
+                left_i = pltpu.roll(A0i, 1, axis=1)
+                right_i = pltpu.roll(A2i, LB - 1, axis=1)
+            y_i = (A1i + jnp.where(not_x0, left_i, iz)
+                   + jnp.where(not_xl, right_i, iz))
+            y = y_i.astype(jnp.float32) * dq + bias
+            if relu:
+                y = jnp.maximum(y, zero)
+            y = jnp.where(u < WU, y, zero)
+            skip_tail = True
+        elif quant == "dyn":
             if n_in == 1:
                 rhs_q = xq_v[0][t * C[0] : (t + 3) * C[0], :]
             else:
@@ -350,8 +402,10 @@ def _conv_phase_kernel(
         # timing ablation knob (scripts/profile_conv_levels.py): "noroll"
         # drops the dx taps entirely (WRONG VALUES — upper bound only);
         # "bf16" runs the tap-combine epilogue in bf16
-        abl = os.environ.get("RTNR_PHASE_ABLATE", "")
-        if abl == "noroll":
+        abl = "" if skip_tail else os.environ.get("RTNR_PHASE_ABLATE", "")
+        if skip_tail:
+            pass
+        elif abl == "noroll":
             y = A1 + bias
             if relu:
                 y = jnp.maximum(y, zero)
@@ -412,7 +466,13 @@ def _conv_phase_kernel(
             y = mm(h2, y.astype(jnp.bfloat16)) + hb
             y = jnp.where(u2 < WU, y, zero)
 
-        y_b = y.astype(jnp.bfloat16)
+        if out_q:
+            lo = jnp.float32(0.0) if relu else jnp.float32(-127.0)
+            y_b = jnp.clip(
+                jnp.rint(y.astype(jnp.float32)), lo, 127.0
+            ).astype(jnp.int8)
+        else:
+            y_b = y.astype(jnp.bfloat16)
         y_v[slot, :, pl.ds(t * LB, LB)] = y_b
         if pool:
             y_ts.append(y_b)
@@ -424,9 +484,13 @@ def _conv_phase_kernel(
         ).start()
 
     if pool:
-        # out phase q = max over phases 2q, 2q+1 and image-row pair
+        # out phase q = max over phases 2q, 2q+1 and image-row pair.
+        # int8 vector max is not legalized by Mosaic — widen to i32 for
+        # the comparisons and cast back (values are exact small ints).
+        wdt = jnp.int32 if out_q else jnp.bfloat16
         for s in range(TR // 2):
-            pm = jnp.maximum(y_ts[2 * s], y_ts[2 * s + 1])
+            pm = jnp.maximum(y_ts[2 * s].astype(wdt),
+                             y_ts[2 * s + 1].astype(wdt))
             cols = [
                 jnp.maximum(pm[:, (2 * q) * WS : (2 * q + 1) * WS],
                             pm[:, (2 * q + 1) * WS : (2 * q + 2) * WS])
@@ -434,7 +498,7 @@ def _conv_phase_kernel(
             ]
             p_v[slot, :, pl.ds(s * (LB // 2), LB // 2)] = jnp.concatenate(
                 cols, axis=1
-            )
+            ).astype(y_v.dtype)
         for s in range(TR // 2):
             pltpu.make_async_copy(
                 p_v.at[slot, :, pl.ds(s * (LB // 2), LB // 2)],
@@ -522,8 +586,9 @@ def _pick_tr_fb(
                 base += 2 * 4 * c * up_cd * 2  # wt (scratch + loaded value)
                 base += 4 * c * (lb // 2) * 4  # A_t f32 (dies per deep row)
             else:
-                base += 2 * (tr + 2) * c * lb * 2  # fetch, 2 slots
-            if quant:
+                # fetch windows, 2 slots (int8 in static mode)
+                base += 2 * (tr + 2) * c * lb * (1 if quant == "static" else 2)
+            if quant == "dyn":
                 base += (tr + 2) * c * lb  # int8 quantized window copy
         fbs = [F] if head else [f for f in (F, F // 2, F // 4, F // 8)
                                 if f >= 8 and f % 8 == 0]
@@ -577,7 +642,9 @@ def conv3x3_phase(
     pool: bool = False,
     rows_per_step: Optional[int] = None,
     interpret: bool = False,
-    quant: bool = False,
+    quant: Any = False,
+    in_scales: Optional[Sequence[jax.Array]] = None,
+    out_scale: Optional[jax.Array] = None,
 ):
     """3x3 s1 same conv over the channel-concat of packed phase-planar
     inputs at P phases; optional fused ReLU, 2x2-max-pool side output
@@ -600,7 +667,20 @@ def conv3x3_phase(
     assert n_in in (1, 2)
     assert w % P == 0 and w // P <= WS
     upc = up_kernel is not None
+    if quant is True:
+        quant = "dyn"
+    elif not quant:
+        quant = ""
+    assert quant in ("", "dyn", "static")
     assert not (quant and upc), "int8 path does not fuse ConvTranspose"
+    head = head_kernel is not None
+    out_q = out_scale is not None
+    assert not (head and out_q), "the fused head output stays bf16"
+    if quant == "static":
+        assert in_scales is not None and len(in_scales) == n_in
+        assert all(x.dtype == jnp.int8 for x in xs)
+    else:
+        assert all(x.dtype == jnp.bfloat16 for x in xs)
     if upc:
         assert n_in == 2 and not pool and P % 2 == 0
         up_cd = int(up_kernel.shape[2])
@@ -612,8 +692,10 @@ def conv3x3_phase(
         Cs = tuple(int(x.shape[0]) // (h + 2) for x in xs)
     sumC = sum(Cs)
     F = kernel.shape[-1]
-    head = head_kernel is not None
     assert not (head and pool)
+    assert quant != "static" or interpret or (
+        F % 32 == 0 and all(c % 32 == 0 for c in Cs)
+    ), "static int8 DMA tiling needs 32-row-aligned channel counts"
     tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd, quant)
     TR = rows_per_step or tr_auto
     n_fb = F // FB
@@ -627,11 +709,29 @@ def conv3x3_phase(
         kernel = jnp.concatenate(
             [kernel, jnp.zeros((3, 3, sumC - kc, F), kernel.dtype)], axis=2
         )
+    inv_out = (
+        jnp.float32(1.0) / out_scale.astype(jnp.float32)
+        if out_q else jnp.float32(1.0)
+    )
     swv = None
+    if not quant and out_q:
+        # exact-path matmul with quantized output: fold 1/out_scale into
+        # the weights (the bias is folded below) so the kernel's output
+        # quantize is a plain rint+clip
+        kernel = kernel.astype(jnp.float32) * inv_out
     if quant:
         # per-output-channel symmetric int8 (the scale rides a (F, 128)
-        # broadcast column like the bias)
+        # broadcast column like the bias). Static mode folds the SECOND
+        # input's activation-scale ratio into its weight slice so the
+        # whole contraction runs at input 0's scale (exact factorization
+        # for the two-input virtual concat), then pre-multiplies the
+        # dequant scale by s_in0.
         kf = kernel.astype(jnp.float32)
+        if quant == "static" and n_in == 2:
+            ratio = (in_scales[1] / in_scales[0]).astype(jnp.float32)
+            kf = jnp.concatenate(
+                [kf[:, :, : Cs[0]], kf[:, :, Cs[0] :] * ratio], axis=2
+            )
         swv = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)),
                           jnp.float32(1e-12)) * jnp.float32(1.0 / 127.0)
         kernel = jnp.clip(jnp.rint(kf / swv), -127.0, 127.0)
@@ -656,6 +756,8 @@ def conv3x3_phase(
     w2 = jnp.pad(w2, ((0, 0), (0, K128 - 3 * sumC)))
 
     bvec = jnp.zeros((F,), jnp.float32) if bias is None else bias
+    if out_q:
+        bvec = bvec.astype(jnp.float32) * inv_out
     brows = [jnp.broadcast_to(bvec.astype(jnp.bfloat16)[:, None], (F, 128))]
     args = list(xs) + [w2]
     if head:
@@ -672,10 +774,18 @@ def conv3x3_phase(
             jnp.broadcast_to(hb.astype(jnp.bfloat16)[:, None], (F2, 128))
         )
     args.append(jnp.concatenate(brows, axis=0))
-    if quant:
-        args.append(
-            jnp.broadcast_to(swv[:, None], (F, 128)).astype(jnp.float32)
-        )
+    if quant or out_q:
+        if swv is None:
+            sw_eff = jnp.ones((F,), jnp.float32)  # unused by the exact path
+        elif quant == "static":
+            sw_eff = swv * in_scales[0].astype(jnp.float32) * inv_out
+        else:
+            sw_eff = swv * inv_out
+        ws_rows = jnp.concatenate([
+            jnp.broadcast_to(sw_eff[:, None], (F, 128)).astype(jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+        ])
+        args.append(ws_rows)
     if upc:
         c2 = Cs[1]
         # flax ConvTranspose applies the SPATIALLY FLIPPED kernel (see
@@ -692,12 +802,14 @@ def conv3x3_phase(
 
     FO = F2 if head else F
     LB = P * WS
-    out_shapes = [jax.ShapeDtypeStruct(((h + 2) * FO, LB), jnp.bfloat16)]
+    odt = jnp.int8 if out_q else jnp.bfloat16
+    out_shapes = [jax.ShapeDtypeStruct(((h + 2) * FO, LB), odt)]
     if pool:
         out_shapes.append(
-            jax.ShapeDtypeStruct(((h // 2 + 2) * F, LB // 2), jnp.bfloat16)
+            jax.ShapeDtypeStruct(((h // 2 + 2) * F, LB // 2), odt)
         )
 
+    adt = jnp.int8 if quant == "static" else jnp.bfloat16  # input act dtype
     scratch = []
     for i, c in enumerate(Cs):
         if upc and i == 1:
@@ -705,30 +817,30 @@ def conv3x3_phase(
                 pltpu.VMEM((2, (TR // 2 + 2) * up_cd, LB // 2), jnp.bfloat16)
             )
         else:
-            scratch.append(pltpu.VMEM((2, (TR + 2) * c, LB), jnp.bfloat16))
+            scratch.append(pltpu.VMEM((2, (TR + 2) * c, LB), adt))
     scratch += [pltpu.VMEM((3 * FB, K128), jnp.int8 if quant else jnp.bfloat16)]
     if head:
         scratch += [pltpu.VMEM((F2, _round_up(F, 128)), jnp.bfloat16)]
     scratch += [pltpu.VMEM((F + (F2 if head else 0), 128), jnp.bfloat16)]
-    if quant:
-        scratch += [pltpu.VMEM((F, 128), jnp.float32)]  # per-channel w scale
+    if quant or out_q:
+        scratch += [pltpu.VMEM((F + 8, 128), jnp.float32)]  # w scales + 1/s_out
     if upc:
         scratch += [
             pltpu.VMEM((4 * Cs[1], up_cd), jnp.bfloat16),
             pltpu.VMEM((Cs[1], 128), jnp.bfloat16),
             pltpu.VMEM(((TR + 2) * Cs[1], LB), jnp.bfloat16),  # up window
         ]
-    if quant:  # quantized window copies (single-buffered: consumed in-step)
+    if quant == "dyn":  # quantized window copies (consumed in-step)
         scratch += [
             pltpu.VMEM(((TR + 2) * c, LB), jnp.int8) for c in Cs
         ]
     scratch += [
-        pltpu.VMEM((2, F2 if head else FB, TR * LB), jnp.bfloat16),  # y x2
+        pltpu.VMEM((2, F2 if head else FB, TR * LB), odt),  # y x2
     ]
     if pool:
-        scratch += [pltpu.VMEM((2, FB, (TR // 2) * (LB // 2)), jnp.bfloat16)]
+        scratch += [pltpu.VMEM((2, FB, (TR // 2) * (LB // 2)), odt)]
     scratch += [
-        pltpu.VMEM((FB, LB), jnp.bfloat16),  # zero pad block
+        pltpu.VMEM((FB, LB), odt),  # zero pad block
         pltpu.SemaphoreType.DMA((2, n_in)),
         pltpu.SemaphoreType.DMA((2,)),  # double-buffered output stores
         pltpu.SemaphoreType.DMA(()),  # weights/bias/pad blocks
@@ -751,6 +863,7 @@ def conv3x3_phase(
             up_cd=up_cd,
             up_h=h,
             quant=quant,
+            out_q=out_q,
         ),
         out_shape=out_shapes,
         grid=(n_fb, steps),
@@ -764,25 +877,30 @@ def conv3x3_phase(
 
 
 def _convt_phase_kernel(
-    x_hbm,
-    w_hbm,
-    b_hbm,
-    o_hbm,
-    x_v,
-    w_v,
-    b_v,
-    y_v,
-    z_v,
-    in_sem,
-    o_sem,
-    wb_sem,
-    *,
+    *refs,
     C: int,
     F: int,
     P: int,  # input phases; output has 2P
     WU: int,
     TR: int,
+    quant: bool = False,  # static int8: x int8, W int8, scales in ws
+    out_q: bool = False,
 ):
+    it = iter(refs)
+    x_hbm = next(it)
+    w_hbm = next(it)
+    b_hbm = next(it)
+    ws_hbm = next(it) if (quant or out_q) else None
+    o_hbm = next(it)
+    x_v = next(it)
+    w_v = next(it)
+    b_v = next(it)
+    ws_v = next(it) if (quant or out_q) else None
+    y_v = next(it)
+    z_v = next(it)
+    in_sem = next(it)
+    o_sem = next(it)
+    wb_sem = next(it)
     g = pl.program_id(0)
     steps = pl.num_programs(0)
     even = jax.lax.rem(g, 2) == 0
@@ -810,7 +928,11 @@ def _convt_phase_kernel(
         cp = pltpu.make_async_copy(b_hbm, b_v, wb_sem)
         cp.start()
         cp.wait()
-        z_v[:, :] = jnp.zeros((F, LBO), jnp.bfloat16)
+        if quant or out_q:
+            cp = pltpu.make_async_copy(ws_hbm, ws_v, wb_sem)
+            cp.start()
+            cp.wait()
+        z_v[:, :] = jnp.zeros((F, LBO), z_v.dtype)
 
     @pl.when((g + 1 < steps) & even)
     def _():
@@ -831,6 +953,11 @@ def _convt_phase_kernel(
     slot = jax.lax.rem(g, 2)
     bias = b_v[:, 0:1].astype(jnp.float32)
     u = jax.lax.broadcasted_iota(jnp.int32, (F, LB), 1) & (WS - 1)
+    if quant or out_q:
+        # per-channel weight scale x input act scale, tiled over the 4
+        # (dy, dx) sub-kernels (w4 rows are (dy*2+dx)*F + f); also carries
+        # 1/out_scale when the output quantizes
+        dq1 = ws_v[pl.ds(0, F), 0:1]  # (F, 1) f32
 
     # double-buffered output stores (drained before slot reuse)
     def wait_out(s):
@@ -851,13 +978,20 @@ def _convt_phase_kernel(
         A = jax.lax.dot_general(
             w_v[:, :], x_v[slot][t * C : (t + 1) * C, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
         )  # (4F, LB)
         Ay = []
         for j in range(4):
-            yj = A[j * F : (j + 1) * F, :] + bias
+            yj = A[j * F : (j + 1) * F, :]
+            if quant or out_q:
+                yj = yj.astype(jnp.float32) * dq1
+            yj = yj + bias
             yj = jnp.where(u < WU, yj, jnp.float32(0.0))
-            Ay.append(yj.astype(jnp.bfloat16))
+            if out_q:
+                yj = jnp.clip(jnp.rint(yj), -127.0, 127.0)
+                Ay.append(yj.astype(jnp.int8))
+            else:
+                Ay.append(yj.astype(jnp.bfloat16))
         for dy in range(2):
             row = jnp.concatenate(
                 [
@@ -898,7 +1032,8 @@ def _convt_phase_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "P", "rows_per_step", "interpret")
+    jax.jit,
+    static_argnames=("h", "w", "P", "rows_per_step", "interpret", "quant"),
 )
 def convt2x2_phase(
     x: jax.Array,
@@ -910,6 +1045,9 @@ def convt2x2_phase(
     P: int,  # INPUT phases (output has 2P)
     rows_per_step: int = 4,
     interpret: bool = False,
+    quant: Any = False,
+    in_scale: Optional[jax.Array] = None,
+    out_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """2x2-stride-2 transposed conv: packed phase-planar (P phases,
     h/2 x w/2) in -> packed (2P phases, h x w) out. kernel (2, 2, C, F)
@@ -920,36 +1058,75 @@ def convt2x2_phase(
     TR = rows_per_step
     assert hh % TR == 0 and x.shape[1] == P * WS and (w // 2) % P == 0
     steps = hh // TR
+    if quant is True:
+        quant = "static"
+    elif not quant:
+        quant = ""
+    assert quant in ("", "static")
+    out_q = out_scale is not None
+    if quant:
+        assert in_scale is not None and x.dtype == jnp.int8
+        assert interpret or (F % 32 == 0 and C % 32 == 0)
 
     # flax ConvTranspose applies the SPATIALLY FLIPPED kernel; with stride
     # == kernel size output subpixel (dy, dx) reads kernel[1-dy, 1-dx]
     # (models/unet.py ConvTranspose2x2MatMul:115-118)
-    w4 = (
-        kernel[::-1, ::-1].transpose(0, 1, 3, 2).reshape(4 * F, C)
-        .astype(jnp.bfloat16)
+    w4f = kernel[::-1, ::-1].transpose(0, 1, 3, 2).reshape(4 * F, C)
+    if quant:
+        kf = w4f.astype(jnp.float32).reshape(4, F, C)
+        swv = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 2)),
+                          jnp.float32(1e-12)) * jnp.float32(1.0 / 127.0)
+        w4 = jnp.clip(jnp.rint(kf / swv[None, :, None]), -127.0, 127.0)
+        w4 = w4.reshape(4 * F, C).astype(jnp.int8)
+    else:
+        w4 = w4f.astype(jnp.bfloat16)
+    inv_out = (
+        jnp.float32(1.0) / out_scale.astype(jnp.float32)
+        if out_q else jnp.float32(1.0)
     )
     bvec = jnp.zeros((F,), jnp.float32) if bias is None else bias
+    if out_q:
+        bvec = bvec.astype(jnp.float32) * inv_out
     brow = jnp.broadcast_to(bvec.astype(jnp.bfloat16)[:, None], (F, 128))
-
+    args = [x, w4, brow]
+    if quant or out_q:
+        # 1/out_scale folds into the per-channel dequant scale (and the
+        # bias above): the kernel's output quantize is a plain rint+clip
+        sw_eff = (
+            swv * in_scale.astype(jnp.float32) * inv_out if quant
+            else jnp.broadcast_to(inv_out, (F,))
+        )
+        args.append(jnp.concatenate([
+            jnp.broadcast_to(sw_eff[:, None], (F, 128)).astype(jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+        ]))
+    odt = jnp.int8 if out_q else jnp.bfloat16
+    adt = jnp.int8 if quant else jnp.bfloat16
+    scratch = [
+        pltpu.VMEM((2, TR * C, P * WS), adt),
+        pltpu.VMEM((4 * F, C), jnp.int8 if quant else jnp.bfloat16),
+        pltpu.VMEM((F, 128), jnp.bfloat16),
+    ]
+    if quant or out_q:
+        scratch.append(pltpu.VMEM((F + 8, 128), jnp.float32))
+    scratch += [
+        pltpu.VMEM((2, F, 4 * TR * P * WS), odt),
+        pltpu.VMEM((F, 2 * P * WS), odt),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
     out = pl.pallas_call(
         functools.partial(
-            _convt_phase_kernel, C=C, F=F, P=P, WU=(w // 2) // P, TR=TR
+            _convt_phase_kernel, C=C, F=F, P=P, WU=(w // 2) // P, TR=TR,
+            quant=bool(quant), out_q=out_q,
         ),
-        out_shape=jax.ShapeDtypeStruct(((h + 2) * F, 2 * P * WS), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct(((h + 2) * F, 2 * P * WS), odt),
         grid=(steps,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(args),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, TR * C, P * WS), jnp.bfloat16),
-            pltpu.VMEM((4 * F, C), jnp.bfloat16),
-            pltpu.VMEM((F, 128), jnp.bfloat16),
-            pltpu.VMEM((2, F, 4 * TR * P * WS), jnp.bfloat16),
-            pltpu.VMEM((F, 2 * P * WS), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(x, w4, brow)
+    )(*args)
     return out

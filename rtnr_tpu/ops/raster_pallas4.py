@@ -552,7 +552,7 @@ def raster_images_pallas4(
     integer-average resolve runs inside the expansion kernel and the return
     is (packed rgb r|g<<8|b<<16 (HW,) i32, depth (HW,) f32)."""
     if place_int8 is None:
-        place_int8 = os.environ.get("RTNR_PLACE_INT8", "0") == "1"
+        place_int8 = os.environ.get("RTNR_PLACE_INT8", "1") == "1"
     m = sp.pix.shape[0]
     L = part_size
     assert L % 8 == 0
@@ -636,7 +636,7 @@ def expand_winners(
     r,g,b,count,zbits,pix by winner rank, ``total`` winners — to the dense
     (sums (HW,3) i32, count (HW,) i32, depth (HW,) f32) images."""
     if place_int8 is None:
-        place_int8 = os.environ.get("RTNR_PLACE_INT8", "0") == "1"
+        place_int8 = os.environ.get("RTNR_PLACE_INT8", "1") == "1"
     out_w = wimg.shape[1]
     PB = -(-hw // PL)
     lanes = jnp.arange(out_w, dtype=jnp.int32)

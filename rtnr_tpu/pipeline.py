@@ -132,6 +132,7 @@ def render_full(
     levels: int = 4,
     filter_strength: float = 1.025,
     gradient_filter: float = 0.03,
+    act_scales: Any = None,
 ) -> Dict[str, jax.Array]:
     """Stage 3 — full neural render (reference computeFull,
     project_cloud.cu:437-493): raster + prefilter + U-Net, one fused program.
@@ -179,6 +180,7 @@ def render_full(
         y = unet.apply(
             unet_variables, None,
             x_phase=(pf["unet_input_phase"], ph, pw, 5),
+            act_scales=act_scales,
         )[0].astype(jnp.float32)
     else:
         mid = render_filtered(
@@ -285,7 +287,9 @@ class Renderer:
         self.unet_variables = unet_variables
         self.unet = UNet(features=tuple(config.unet_features),
                          out_channels=config.unet_out_channels, dtype=dtype,
-                         fold_bn=unet_variables is not None)
+                         fold_bn=unet_variables is not None,
+                         quant_int8=config.unet_int8 != "off")
+        self._act_scales: Optional[dict] = None  # static-int8 calibration
         self._full_jit = jax.jit(
             functools.partial(self._full_impl),
             static_argnames=("width", "height"),
@@ -404,13 +408,45 @@ class Renderer:
         self.last_timings = FrameTimings(filter_ms=dt, total_ms=dt)
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def _full_impl(self, points, colors, valid, cam_proj, unet_variables, *, width, height):
+    def _full_impl(self, points, colors, valid, cam_proj, unet_variables,
+                   act_scales, *, width, height):
         return render_full(
             points, colors, valid, cam_proj, self.unet, unet_variables,
             width=width, height=height, depth_band=self.config.depth_band,
             levels=self.config.pyramid_levels,
             filter_strength=self.config.filter_strength,
             gradient_filter=self.config.gradient_filter,
+            act_scales=act_scales,
+        )
+
+    def _ensure_act_scales(self, pts, cols, valid, M, width, height):
+        """Lazy static-int8 calibration: one exact forward on THIS view's
+        real U-Net input records per-layer activation maxes (config
+        unet_int8='static')."""
+        import os
+
+        from rtnr_tpu.models.unet import calibrate_act_scales, phase_input_ok
+        from rtnr_tpu.ops.conv_phase import to_phase
+
+        if (self.config.unet_int8 != "static" or self._act_scales is not None
+                or self.unet_variables is None):
+            return
+        levels = self.config.pyramid_levels
+        ph, pw = pyramid_pad_shape(height, width, levels)
+        force = os.environ.get("RTNR_SPLIT_FORCE") == "1"
+        if not (levels == len(self.unet.features)
+                and phase_input_ok(self.unet, ph, pw, force=force)):
+            return  # phase path inactive at this shape; scales unused
+        mid = render_filtered(
+            pts, cols, valid, M, width=width, height=height,
+            depth_band=self.config.depth_band, levels=levels,
+            filter_strength=self.config.filter_strength,
+            gradient_filter=self.config.gradient_filter,
+        )
+        xp = to_phase(mid["unet_input"][None].astype(jnp.bfloat16),
+                      1 << len(self.unet.features))
+        self._act_scales = calibrate_act_scales(
+            self.unet, self.unet_variables, x_phase=(xp, ph, pw, 5)
         )
 
     def compute_full(
@@ -428,9 +464,12 @@ class Renderer:
         if timings or getattr(self.config, "stage_timing", False):
             return self._compute_full_staged(camera, extrinsics)
         pts, cols, valid = self._view_points(camera, extrinsics)
+        M = self._cam_proj(camera, extrinsics)
+        self._ensure_act_scales(pts, cols, valid, M,
+                                camera.width, camera.height)
         t0 = time.perf_counter()
         out = self._full_jit(
-            pts, cols, valid, self._cam_proj(camera, extrinsics), self.unet_variables,
+            pts, cols, valid, M, self.unet_variables, self._act_scales,
             width=camera.width, height=camera.height,
         )
         out = jax.block_until_ready(out)

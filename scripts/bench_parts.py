@@ -49,23 +49,30 @@ def bench_unet():
 
     H, W = pyramid_pad_shape(HEIGHT, WIDTH, 4)
     features = (64, 128, 256, 512)
+    int8_mode = os.environ.get("UNET_INT8", "0")  # 0 off | 1 dyn | 2 static
     variant = dict(
         tiny_cin_impl=os.environ.get("UNET_IM2COL", "im2col"),
         pool_impl=os.environ.get("UNET_POOL", "reduce_window"),
         skip_concat=os.environ.get("UNET_SKIP", "concat"),
         up_impl=os.environ.get("UNET_UP", "convt"),
         conv_impl=os.environ.get("UNET_CONV", "xla"),
-        quant_int8=os.environ.get("UNET_INT8", "0") == "1",
+        quant_int8=int8_mode != "0",
     )
-    print(f"unet variant: {variant}", flush=True)
+    print(f"unet variant: {variant} int8_mode={int8_mode}", flush=True)
     unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True, **variant)
     with jax.default_device(jax.devices("cpu")[0]):
         _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
     variables = jax.device_put(fold_batchnorm(raw))
-    x0 = jnp.zeros((1, H, W, 5), jnp.bfloat16)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 5), jnp.bfloat16)
+
+    scales = None
+    if int8_mode == "2":
+        from rtnr_tpu.models.unet import calibrate_act_scales
+
+        scales = calibrate_act_scales(unet, variables, x0)
 
     def body(k, x):
-        y = unet.apply(variables, x)  # (1, H, W, 3)
+        y = unet.apply(variables, x, act_scales=scales)  # (1, H, W, 3)
         # data dependence: next input carries the previous output
         return jnp.concatenate([y * jnp.bfloat16(1e-3), x[..., 3:]], axis=-1)
 

@@ -35,7 +35,8 @@ def build_stage(which):
         H, W = pyramid_pad_shape(HEIGHT, WIDTH, 4)
         features = (64, 128, 256, 512)
         unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True,
-                    up_impl=os.environ.get("UNET_UP_IMPL", "convt"))
+                    up_impl=os.environ.get("UNET_UP_IMPL", "convt"),
+                    quant_int8=os.environ.get("UNET_INT8", "0") == "1")
         with jax.default_device(jax.devices("cpu")[0]):
             _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
         variables = jax.device_put(fold_batchnorm(raw))

@@ -133,3 +133,32 @@ def test_unet_split_int8_error_budget(monkeypatch):
     # precision-degraded fp16 TensorRT, model/export_ts.py:16)
     assert np.abs(ya - yq).max() <= 0.10 * scale
     assert np.abs(ya - yq).mean() <= 0.02 * scale
+
+
+def test_unet_split_static_int8_error_budget(monkeypatch):
+    """Calibrated static-int8 phase path (int8 activations in HBM,
+    per-layer scales from calibrate_act_scales): bounded error vs the
+    exact phase path."""
+    monkeypatch.setenv("RTNR_SPLIT_FORCE", "1")
+    from rtnr_tpu.models.unet import calibrate_act_scales
+
+    features = (16, 32)
+    H, W = 16, 32
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, raw = init_unet(jax.random.PRNGKey(0), H, W, features=features)
+    variables = fold_batchnorm(raw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 5), jnp.bfloat16)
+
+    base = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True,
+                skip_concat="split", conv_impl="pallas")
+    ya = np.asarray(base.apply(variables, x), np.float32)
+    scales = calibrate_act_scales(base, variables, x)
+    # every conv pair and convT must have been calibrated
+    for k in ("down0/c0", "down0/c1", "down1/c1", "bottleneck/c1",
+              "u0t", "u1t", "updc0/c1", "updc1/c0"):
+        assert k in scales
+    qnet = base.clone(quant_int8=True, quant_min_f=1)
+    yq = np.asarray(qnet.apply(variables, x, act_scales=scales), np.float32)
+    scale = max(np.abs(ya).max(), 1e-6)
+    assert np.abs(ya - yq).max() <= 0.10 * scale
+    assert np.abs(ya - yq).mean() <= 0.02 * scale
