@@ -428,6 +428,7 @@ def _expand_kernel4(
     hw: int,
     packed_out: bool = False,
     place_int8: bool = False,
+    float_sums: bool = False,  # csum rows 0-3 are f32 bit patterns
 ):
     p = pl.program_id(0)
     PB = pl.num_programs(0)
@@ -474,7 +475,17 @@ def _expand_kernel4(
     wpix_clean = jnp.where(gidx_w < total, vr[5], _I32(hw))
     for k in range(4):
         prev = pltpu.roll(vr[k], 1, axis=1)
-        rows_v[k : k + 1, :] = vr[k] - jnp.where(gidx_w == 0, 0, prev)
+        if float_sums:
+            # the differentiable forward's csums are f32: diff in float
+            # and carry the bit pattern (byte-plane placement is exact for
+            # any 32-bit pattern)
+            d = pltpu.bitcast(vr[k], jnp.float32) - jnp.where(
+                gidx_w == 0, jnp.float32(0.0),
+                pltpu.bitcast(prev, jnp.float32),
+            )
+            rows_v[k : k + 1, :] = pltpu.bitcast(d, jnp.int32)
+        else:
+            rows_v[k : k + 1, :] = vr[k] - jnp.where(gidx_w == 0, 0, prev)
     rows_v[4:5, :] = vr[4]
     rows_v[5:6, :] = wpix_clean
 
@@ -493,6 +504,8 @@ def _expand_kernel4(
         out_rows = _place_rows(list(vrows[:5]), d_row, NQ, place_int8)
         # empty pixels: count==0 -> depth = FLT_MAX bits (reference seed,
         # project_cloud.cu:316); color sums stay 0
+        # count>0: exact for i32 counts; for float_sums the count row is a
+        # non-negative f32 whose bit pattern is > 0 iff the value is > 0
         depth = jnp.where(out_rows[3] > 0, out_rows[4], _I32(_FLT_MAX_BITS))
         if packed_out:
             # fused resolve: integer-average (reference render.cu:160-162,
@@ -620,6 +633,206 @@ def raster_images_pallas4(
                           place_int8=place_int8)
 
 
+def _compact_kernel(
+    starts_ref,  # SMEM prefetch (P+1,) i32 — exclusive winner rank at part starts
+    *refs,
+    Lc: int,
+    S: int,
+    place_int8: bool = False,
+):
+    """Compact rows with a dense rank to output position == rank.
+
+    Inputs: ``slot`` (8, Lc) per part — the element's global output rank
+    for selected elements, -1 otherwise (ranks strictly increasing along
+    the stream); six 32-bit value lanes. The XLA side computes
+    winner flags/ranks/csums; this kernel only does the bounded-window
+    placement the winners kernel pioneered (same aligned-store + tail
+    carry pattern), so the differentiable forward can skip the full-stream
+    placement SORT."""
+    it = iter(refs)
+    slot_hbm = next(it)
+    v_hbm = [next(it) for _ in range(6)]
+    wout_hbm = next(it)
+    slot_v = next(it)
+    v_v = [next(it) for _ in range(6)]
+    part_out = next(it)
+    in_sem = next(it)
+    out_sem = next(it)
+
+    p = pl.program_id(0)
+    n_parts = pl.num_programs(0)
+    even = jax.lax.rem(p, 2) == 0
+    L = 8 * Lc
+
+    def start_fetch(part, sl):
+        pltpu.make_async_copy(
+            slot_hbm.at[pl.ds(part * 8, 8), :], slot_v.at[sl], in_sem.at[sl, 0]
+        ).start()
+        for i in range(6):
+            pltpu.make_async_copy(
+                v_hbm[i].at[pl.ds(part * 8, 8), :], v_v[i].at[sl],
+                in_sem.at[sl, i + 1],
+            ).start()
+
+    def wait_fetch(sl):
+        pltpu.make_async_copy(
+            slot_hbm.at[pl.ds(0, 8), :], slot_v.at[sl], in_sem.at[sl, 0]
+        ).wait()
+        for i in range(6):
+            pltpu.make_async_copy(
+                v_hbm[i].at[pl.ds(0, 8), :], v_v[i].at[sl], in_sem.at[sl, i + 1]
+            ).wait()
+
+    @pl.when(p == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when((p + 1 < n_parts) & even)
+    def _():
+        start_fetch(p + 1, 1)
+
+    @pl.when((p + 1 < n_parts) & jnp.logical_not(even))
+    def _():
+        start_fetch(p + 1, 0)
+
+    @pl.when(even)
+    def _():
+        wait_fetch(0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        wait_fetch(1)
+
+    sl = jax.lax.rem(p, 2)
+    o_part = starts_ref[p]
+    o_al_s = (o_part // 128) * 128
+    r_part = o_part - o_al_s
+
+    slots = slot_v[sl]
+    NQ = S // 128
+    o_sub = _I32(0)
+    for c in range(8):
+        for j in range(Lc // S):
+            ssl = slice(j * S, (j + 1) * S)
+            sl_sub = slots[c : c + 1, ssl]
+            sel = sl_sub >= 0
+            k_c = jnp.sum(sel.astype(_I32))
+            d_row = jnp.where(sel, sl_sub - o_part, _I32(-1)) - o_sub
+            d_row = jnp.where(sel, d_row, _I32(-1))
+            vals = [v_v[i][sl][c : c + 1, ssl] for i in range(6)]
+            out_rows = _place_rows(vals, d_row, NQ, place_int8)
+            out8 = jnp.concatenate(out_rows + [jnp.zeros((2, S), _I32)], axis=0)
+
+            q = r_part + o_sub
+            q_al = pl.multiple_of((q // 128) * 128, 128)
+            rq = q - q_al
+            padded = jnp.concatenate([out8, jnp.zeros((8, 128), _I32)], axis=1)
+            rolled = pltpu.roll(padded, rq, axis=1)
+            lane_t = jax.lax.broadcasted_iota(_I32, (8, S + 128), 1)
+            tmask = (lane_t >= rq) & (lane_t < rq + S)
+            cur = part_out[sl, :, pl.ds(q_al, S + 128)]
+            part_out[sl, :, pl.ds(q_al, S + 128)] = jnp.where(tmask, rolled, cur)
+            o_sub = o_sub + k_c
+
+    pltpu.make_async_copy(
+        part_out.at[sl, :, pl.ds(0, L + 256)],
+        wout_hbm.at[:, pl.ds(o_al_s, L + 256)],
+        out_sem.at[sl],
+    ).start()
+
+    def wait_outdma(sx):
+        pltpu.make_async_copy(
+            part_out.at[sx, :, pl.ds(0, L + 256)],
+            wout_hbm.at[:, pl.ds(0, L + 256)],
+            out_sem.at[sx],
+        ).wait()
+
+    @pl.when(p >= 1)
+    def _():
+        wait_outdma(1 - sl)
+
+    # carry the unaligned tail block into the next part's staging slot
+    end = r_part + o_sub
+    tail_al = pl.multiple_of((end // 128) * 128, 128)
+    tail = part_out[sl, :, pl.ds(tail_al, 128)]
+    part_out[1 - sl, :, pl.ds(0, 128)] = tail
+
+    @pl.when(p == n_parts - 1)
+    def _():
+        wait_outdma(sl)
+
+
+def compact_rows_by_rank(
+    slot: jax.Array,
+    vals,
+    total: jax.Array,
+    *,
+    part_size: int = 16384,
+    sub_chunk: int = 2048,
+    out_w: int = None,
+    place_int8: bool = None,
+    interpret: bool = False,
+    part_starts: jax.Array = None,  # (P,) exclusive rank at part starts
+) -> jax.Array:
+    """(m,) streams -> (8, out_w) winner image: element i with slot[i] >= 0
+    lands at lanes slot[i] (rows = the six 32-bit ``vals`` lanes); slots
+    must be strictly increasing along the stream (a rank). Feeds
+    ``expand_winners``."""
+    if place_int8 is None:
+        place_int8 = os.environ.get("RTNR_PLACE_INT8", "1") == "1"
+    m = slot.shape[0]
+    L = part_size
+    Lc = L // 8
+    S = min(sub_chunk, Lc)
+    assert Lc % S == 0 and S % 128 == 0
+    P = -(-m // L)
+    pad = P * L - m
+    assert len(vals) == 6
+
+    def padit(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad,), fill, x.dtype)]
+        ).reshape(-1, Lc)
+
+    slot_p = padit(slot.astype(jnp.int32), jnp.int32(-1))
+    vals_p = [padit(v, jnp.int32(0)) for v in vals]
+    if out_w is None:
+        out_w = m + L + 2048
+    if part_starts is None:
+        # exclusive rank at each part start from a cummax of slots (the
+        # caller usually has the exclusive-rank array and passes
+        # part_starts = rank_excl[::part_size] to skip this)
+        incl = jax.lax.cummax(jnp.where(slot >= 0, slot, -1))
+        idx = jnp.arange(P, dtype=jnp.int32) * jnp.int32(L)
+        part_starts = jnp.where(
+            idx > 0, jnp.take(incl, jnp.maximum(idx - 1, 0)) + 1, 0
+        )
+    starts = jnp.concatenate(
+        [part_starts.astype(jnp.int32), total.reshape(1).astype(jnp.int32)]
+    )
+
+    wimg = pl.pallas_call(
+        functools.partial(_compact_kernel, Lc=Lc, S=S, place_int8=place_int8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(P,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, Lc), jnp.int32),
+            ] + [pltpu.VMEM((2, 8, Lc), jnp.int32) for _ in range(6)] + [
+                pltpu.VMEM((2, 8, L + 256), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 7)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, out_w), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, slot_p, *vals_p)
+    return wimg
+
+
 def expand_winners(
     wimg: jax.Array,
     total: jax.Array,
@@ -630,6 +843,7 @@ def expand_winners(
     packed_out: bool = False,
     interpret: bool = False,
     place_int8: bool = None,
+    float_sums: bool = False,
 ):
     """Expansion stage shared by the v4/v5 winner kernels: scatter the
     compacted, pixel-sorted winner stream ``wimg`` (8, out_w) — rows
@@ -646,7 +860,8 @@ def expand_winners(
 
     img = pl.pallas_call(
         functools.partial(_expand_kernel4, PL=PL, SE=SE, hw=hw,
-                          packed_out=packed_out, place_int8=place_int8),
+                          packed_out=packed_out, place_int8=place_int8,
+                          float_sums=float_sums),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(PB,),
@@ -668,10 +883,16 @@ def expand_winners(
 
     img = img[:, :hw]
     if packed_out:
+        assert not float_sums
         packed = img[0]
         depth = jax.lax.bitcast_convert_type(img[1], jnp.float32)
         return packed, depth
-    sums = jnp.stack([img[0], img[1], img[2]], axis=1)
-    count = img[3]
+    if float_sums:
+        f = lambda r: jax.lax.bitcast_convert_type(r, jnp.float32)
+        sums = jnp.stack([f(img[0]), f(img[1]), f(img[2])], axis=1)
+        count = f(img[3])
+    else:
+        sums = jnp.stack([img[0], img[1], img[2]], axis=1)
+        count = img[3]
     depth = jax.lax.bitcast_convert_type(img[4], jnp.float32)
     return sums, count, depth
