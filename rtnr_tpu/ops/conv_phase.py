@@ -563,7 +563,7 @@ def _conv_phase_kernel(
 
 def _pick_tr_fb(
     h: int, P: int, Cs: Tuple[int, ...], F: int, pool: bool, head: bool,
-    up_cd: int = 0, quant: bool = False,
+    up_cd: int = 0, quant: bool = False, out_q: bool = False,
 ) -> Tuple[int, int]:
     """Largest (rows-per-step, F-block) whose VMEM footprint fits (~13 MB
     of the 16 MB scoped limit), per the kernel's scratch + live values."""
@@ -573,7 +573,10 @@ def _pick_tr_fb(
     budget = 11_000_000
     sumC = sum(Cs)
     lb = P * WS
-    for tr in (8, 4, 2):
+    # tiny-C convs (the 5ch input, 8 stored channels) are per-step
+    # overhead-bound at TR=8 (136 steps x ~6 GFLOP total — hlo_stats r4:
+    # ~1 ms); larger row steps amortize it and still fit VMEM
+    for tr in (32, 16, 8, 4, 2):
         if h % tr or (pool and tr % 2) or (up_cd and tr % 2):
             continue
         base = 0
@@ -596,9 +599,12 @@ def _pick_tr_fb(
             fbs = [f for f in fbs if (3 * f) % 32 == 0 or f == F]
         k128 = _round_up(3 * sumC, 128)
         wbytes = 1 if quant else 2
+        ybytes = 1 if out_q else 2  # int8-quantized outputs halve staging
         for fbl in fbs:
             if up_cd and fbl != F:
                 continue  # fused path requires a single F block
+            if tr > 8 and fbl != F:
+                continue  # big row steps must not cost F-block residency
             est = (
                 base
                 # weight block counts twice: the VMEM scratch AND the value
@@ -606,7 +612,7 @@ def _pick_tr_fb(
                 # bottleneck when counted once)
                 + 2 * 3 * fbl * k128 * wbytes
                 + 3 * fbl * lb * 4  # per-row A f32/i32 (dies each row)
-                + 2 * fbl * tr * lb * 2 * (2 if pool else 1)  # y/pool x2
+                + 2 * fbl * tr * lb * ybytes * (2 if pool else 1)  # y/pool x2
             )
             if est <= budget:
                 return tr, fbl
@@ -696,7 +702,7 @@ def conv3x3_phase(
     assert quant != "static" or interpret or (
         F % 32 == 0 and all(c % 32 == 0 for c in Cs)
     ), "static int8 DMA tiling needs 32-row-aligned channel counts"
-    tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd, quant)
+    tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd, quant, out_q)
     TR = rows_per_step or tr_auto
     n_fb = F // FB
     assert h % TR == 0 and (not pool or (TR % 2 == 0 and P % 2 == 0))

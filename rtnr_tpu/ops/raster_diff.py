@@ -213,6 +213,66 @@ def _diff_core_fwd_arrays(
                    jnp.float32(jnp.inf))
 
     z_bits = jax.lax.bitcast_convert_type(zs, jnp.int32)
+
+    import os
+
+    impl = os.environ.get("RTNR_DIFF_FWD", "auto")
+    if impl == "auto":
+        impl = "compact" if jax.default_backend() == "tpu" else "sort"
+    if impl in ("compact", "compact_interpret"):
+        # carrier-free forward: sort ONLY the n points (the carrier path
+        # sorts n + hw), take each pixel segment's LAST element as the
+        # winner carrying the inclusive f32 csums, compact winners by rank
+        # (a lean Pallas placement instead of the full-stream placement
+        # sort), and expand to the dense images (expand_winners
+        # float_sums). Values are bit-identical to the carrier path: both
+        # produce cs[segment end] - cs[previous segment end] in f32.
+        from rtnr_tpu.ops.raster_pallas4 import (
+            compact_rows_by_rank, expand_winners,
+        )
+
+        interp = impl == "compact_interpret"
+        cf = colors.astype(jnp.float32)
+        pix_s, zb_s, r_s, g_s, b_s = jax.lax.sort(
+            (pix, z_bits, cf[:, 0], cf[:, 1], cf[:, 2]), num_keys=2,
+            is_stable=False,
+        )
+        m = pix_s.shape[0]
+        z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
+        ok_s = pix_s < hw
+        is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
+        head_pos = jax.lax.cummax(
+            jnp.where(is_head, jnp.arange(m, dtype=jnp.int32), jnp.int32(0))
+        )
+        zb_head = segment_broadcast_head(zb_s, is_head, head_pos)
+        z_head = jax.lax.bitcast_convert_type(zb_head, jnp.float32)
+        in_band = ok_s & ~(z_s > z_head + jnp.float32(depth_band))
+        w_s = in_band.astype(jnp.float32)
+        cs_r = jnp.cumsum(r_s * w_s)
+        cs_g = jnp.cumsum(g_s * w_s)
+        cs_b = jnp.cumsum(b_s * w_s)
+        cs_c = jnp.cumsum(w_s)
+
+        is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
+        winner = is_last & ok_s
+        wi = winner.astype(jnp.int32)
+        rank_incl = jnp.cumsum(wi)
+        rank_excl = rank_incl - wi
+        slot = jnp.where(winner, rank_excl, jnp.int32(-1))
+        total = rank_incl[-1]
+
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        L = 16384
+        wimg = compact_rows_by_rank(
+            slot, [bc(cs_r), bc(cs_g), bc(cs_b), bc(cs_c), zb_head, pix_s],
+            total, part_size=L, part_starts=rank_excl[::L],
+            interpret=interp,
+        )
+        sums3, cntf, depth = expand_winners(
+            wimg, total, hw, float_sums=True, interpret=interp,
+        )
+        return (sums3, cntf, depth), (pix, zs)
+
     empty_bits = jax.lax.bitcast_convert_type(
         jnp.float32(DEPTH_EMPTY), jnp.int32
     )

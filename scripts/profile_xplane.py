@@ -66,17 +66,32 @@ def build_stage(which):
         E = np.eye(4)
         E[2, 3] = 12.0
         M0 = jnp.asarray(cam.cam_proj(E), jnp.float32)
-        unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True)
+        int8_mode = os.environ.get("UNET_INT8", "0")
+        unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True,
+                    quant_int8=int8_mode != "0")
         with jax.default_device(jax.devices("cpu")[0]):
             _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
         variables = jax.device_put(fold_batchnorm(raw))
         points, colors = jnp.asarray(pts), jnp.asarray(cols)
         validd = jnp.asarray(valid)
+        act_scales = None
+        if int8_mode == "2":
+            from rtnr_tpu.models.unet import calibrate_act_scales
+            from rtnr_tpu.ops.conv_phase import to_phase
+            from rtnr_tpu.pipeline import pyramid_pad_shape, render_filtered
+
+            mid = render_filtered(points, colors, validd, M0,
+                                  width=WIDTH, height=HEIGHT)
+            ph, pw = pyramid_pad_shape(HEIGHT, WIDTH, 4)
+            xp = to_phase(mid["unet_input"][None].astype(jnp.bfloat16), 16)
+            act_scales = calibrate_act_scales(unet, variables,
+                                              x_phase=(xp, ph, pw, 5))
 
         @jax.jit
         def run(d):
             out = render_full(points, colors, validd, M0.at[0, 3].add(d),
-                              unet, variables, width=WIDTH, height=HEIGHT)
+                              unet, variables, width=WIDTH, height=HEIGHT,
+                              act_scales=act_scales)
             return (d + out["rgb_f"][0, 0, 0] * jnp.float32(1e-6)
                     + out["raw_depth"][0, 0] * jnp.float32(1e-20))
 

@@ -73,3 +73,61 @@ def test_synthetic_pairs_and_batches():
     assert projs.shape == (2, 4, 4)
     assert targets.shape == (2, 32, 32, 3)
     assert targets.max() <= 1.0
+
+
+def test_full_size_checkpoint_roundtrip(tmp_path):
+    """VERDICT r4 item 7: exercise the converter end-to-end on a FULL-SIZE
+    synthetic checkpoint with the reference's exact shapes — features
+    [64,128,256,512], ~31M params (reference model/model.py:23; the real
+    model.pth.tar is a Git-LFS pointer in this snapshot) — wrapped the way
+    training checkpoints ship (state_dict + optimizer state,
+    export_pt.py:5-8 contract), through load_torch_checkpoint + fold_bn,
+    with output parity vs the torch twin."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    from tests.test_unet import build_torch_unet
+    from rtnr_tpu.models.convert import load_torch_checkpoint
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+    from rtnr_tpu.models.unet import UNet
+
+    features = (64, 128, 256, 512)
+    torch.manual_seed(0)
+    tm = build_torch_unet(features=features).eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+    # exclude torch's num_batches_tracked counters (not parameters)
+    n_params = sum(p.numel() for k, p in tm.state_dict().items()
+                   if "num_batches_tracked" not in k)
+    assert 30_000_000 < n_params < 32_500_000  # the reference's ~31M scale
+
+    # ship it like a training checkpoint: state_dict + optimizer wrapper
+    opt = {"state": {0: {"exp_avg": torch.zeros(4)}}, "param_groups": []}
+    path = tmp_path / "model.pth.tar"
+    torch.save({"state_dict": tm.state_dict(), "optimizer": opt,
+                "epoch": 123}, path)
+
+    variables = load_torch_checkpoint(str(path), features=features)
+    # every parameter tensor must have made it across
+    import jax
+    leaves = jax.tree_util.tree_leaves(variables)
+    assert sum(int(np.prod(l.shape)) for l in leaves) == n_params
+
+    x = np.random.default_rng(1).normal(0, 1, (1, 5, 32, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    fm = UNet(features=features, dtype=jnp.float32)
+    y = np.asarray(fm.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(np.transpose(y, (0, 3, 1, 2)), ref,
+                               rtol=2e-3, atol=2e-4)
+
+    # the inference fast path: fold BN and compare again
+    folded = fold_batchnorm(variables)
+    fmf = UNet(features=features, dtype=jnp.float32, fold_bn=True)
+    yf = np.asarray(fmf.apply(folded, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(np.transpose(yf, (0, 3, 1, 2)), ref,
+                               rtol=2e-3, atol=5e-4)

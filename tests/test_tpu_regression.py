@@ -107,8 +107,8 @@ def test_raster_perf_floor(bench_scene):
 
 def test_grad_step_perf_floor(bench_scene):
     """Differentiable-raster gradient step at 1080p/5M: chained-loop floor
-    with headroom over the measured 94.7 ms (PROFILE_r03.md round-3
-    continuation: sort-free gather backward)."""
+    with headroom over the measured 63.3 ms (PROFILE_r04.md: carrier-free
+    compact+expand forward + sort-free gather backward)."""
     from rtnr_tpu.ops.raster_diff import rasterize_diff_sorted
 
     points, colors, valid, M0 = bench_scene
@@ -134,7 +134,7 @@ def test_grad_step_perf_floor(bench_scene):
         return acc + gm[2, 3]
 
     ms = _chained_ms(body, jnp.float32(0.0))
-    assert ms < 115.0, f"grad step {ms:.2f} ms exceeds the 115 ms gate"
+    assert ms < 80.0, f"grad step {ms:.2f} ms exceeds the 80 ms gate"
 
 
 def test_unet_perf_floor():
@@ -155,3 +155,78 @@ def test_unet_perf_floor():
 
     ms = _chained_ms(body, x0)
     assert ms < 28.0, f"U-Net {ms:.2f} ms/apply exceeds the 28 ms gate"
+
+
+def test_unet_static_int8_parity_and_floor():
+    """Calibrated static-int8 phase U-Net at 1088x1920: error budget vs the
+    exact bf16 phase path on REAL Mosaic kernels (the CPU tests only cover
+    interpret mode), and a chained perf floor over the measured 16.2 ms
+    (PROFILE_r04.md)."""
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+    from rtnr_tpu.models.unet import UNet, calibrate_act_scales, init_unet
+
+    features = (64, 128, 256, 512)
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
+    variables = jax.device_put(fold_batchnorm(raw))
+    H, W = 1088, 1920
+    key = jax.random.PRNGKey(1)
+    x = jnp.concatenate(
+        [
+            jax.random.uniform(key, (1, H, W, 3), jnp.float32),
+            (jax.random.uniform(key, (1, H, W, 1)) > 0.5).astype(jnp.float32),
+            jax.random.uniform(key, (1, H, W, 1), jnp.float32, -1.0, 1.0),
+        ],
+        axis=-1,
+    ).astype(jnp.bfloat16)
+
+    base = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True)
+    qnet = base.clone(quant_int8=True)
+    scales = calibrate_act_scales(base, variables, x)
+    ya = np.asarray(jax.jit(base.apply)(variables, x), np.float32)
+    yq = np.asarray(
+        jax.jit(qnet.apply)(variables, x, act_scales=scales), np.float32
+    )
+    rng = max(float(np.abs(ya).max()), 1e-6)
+    assert np.abs(ya - yq).max() <= 0.10 * rng
+    assert np.abs(ya - yq).mean() <= 0.02 * rng
+
+    def body(k, xx):
+        y = qnet.apply(variables, xx, act_scales=scales)
+        return jnp.concatenate([y * jnp.bfloat16(1e-3), xx[..., 3:]], axis=-1)
+
+    ms = _chained_ms(body, x)
+    assert ms < 19.5, f"static-int8 U-Net {ms:.2f} ms exceeds the 19.5 ms gate"
+
+
+def test_bench_fps_floor(bench_scene):
+    """Whole-pipeline frames/sec at the bench operating point (static-int8
+    U-Net, 1080p/5M): floor with headroom under the measured 26.6 fps
+    (BENCH_r04) so the scoreboard can't silently regress."""
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+    from rtnr_tpu.models.unet import UNet, calibrate_act_scales, init_unet
+    from rtnr_tpu.ops.conv_phase import to_phase
+    from rtnr_tpu.pipeline import pyramid_pad_shape, render_filtered, render_full
+
+    points, colors, valid, M0 = bench_scene
+    features = (64, 128, 256, 512)
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
+    variables = jax.device_put(fold_batchnorm(raw))
+    unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True,
+                quant_int8=True)
+    mid = render_filtered(points, colors, valid, M0, width=1920, height=1080)
+    ph, pw = pyramid_pad_shape(1080, 1920, 4)
+    xp = to_phase(mid["unet_input"][None].astype(jnp.bfloat16), 16)
+    scales = calibrate_act_scales(unet, variables, x_phase=(xp, ph, pw, 5))
+
+    def body(k, acc):
+        M = M0.at[0, 3].add(acc * jnp.float32(0.0) + 0.01 * k.astype(jnp.float32))
+        out = render_full(points, colors, valid, M, unet, variables,
+                          width=1920, height=1080, act_scales=scales)
+        return (acc + out["rgb_f"][0, 0, 0]
+                + out["raw_depth"][0, 0] * jnp.float32(1e-20))
+
+    ms = _chained_ms(body, jnp.float32(0.0))
+    fps = 1e3 / ms
+    assert fps > 24.0, f"full pipeline {fps:.2f} fps under the 24 fps gate"
