@@ -84,6 +84,7 @@ def _conv_phase_kernel(
     up_h: int = 0,  # output height (up-row zero-pad bounds)
     quant: str = "",  # "" exact | "dyn" in-kernel act quant | "static"
     out_q: bool = False,  # quantize the output to int8 (static scale)
+    blk_store: bool = False,  # single per-step output DMA (n_fb == 1)
 ):
     nw = 1 + int(head)
     upc = up_cd > 0
@@ -235,6 +236,19 @@ def _conv_phase_kernel(
     OUTR = FO if head else FB
 
     def wait_out(s):
+        if blk_store:
+            # one DMA per step: the TR output row-blocks are contiguous
+            # in HBM when a single F block sweeps the rows (saves TR-1
+            # DMA issues per step — ~1-2 us each, thousands per net)
+            pltpu.make_async_copy(
+                y_v.at[s], o_hbm.at[pl.ds(0, TR * OUTR), :], o_sem.at[s]
+            ).wait()
+            if pool:
+                pltpu.make_async_copy(
+                    p_v.at[s], pool_hbm.at[pl.ds(0, (TR // 2) * F), :],
+                    o_sem.at[s],
+                ).wait()
+            return
         for t in range(TR):
             pltpu.make_async_copy(
                 y_v.at[s, :, pl.ds(t * LB, LB)],
@@ -473,13 +487,23 @@ def _conv_phase_kernel(
             ).astype(jnp.int8)
         else:
             y_b = y.astype(jnp.bfloat16)
-        y_v[slot, :, pl.ds(t * LB, LB)] = y_b
         if pool:
             y_ts.append(y_b)
+        if blk_store:
+            y_v[slot, pl.ds(t * OUTR, OUTR), :] = y_b
+        else:
+            y_v[slot, :, pl.ds(t * LB, LB)] = y_b
+            pltpu.make_async_copy(
+                y_v.at[slot, :, pl.ds(t * LB, LB)],
+                o_hbm.at[pl.ds((1 + g * TR + t) * FO + (0 if head else fb * FB),
+                               OUTR), :],
+                o_sem.at[slot],
+            ).start()
+
+    if blk_store:
         pltpu.make_async_copy(
-            y_v.at[slot, :, pl.ds(t * LB, LB)],
-            o_hbm.at[pl.ds((1 + g * TR + t) * FO + (0 if head else fb * FB),
-                           OUTR), :],
+            y_v.at[slot],
+            o_hbm.at[pl.ds((1 + g * TR) * FO, TR * OUTR), :],
             o_sem.at[slot],
         ).start()
 
@@ -496,17 +520,26 @@ def _conv_phase_kernel(
                             pm[:, (2 * q + 1) * WS : (2 * q + 2) * WS])
                 for q in range(P // 2)
             ]
-            p_v[slot, :, pl.ds(s * (LB // 2), LB // 2)] = jnp.concatenate(
-                cols, axis=1
-            ).astype(y_v.dtype)
-        for s in range(TR // 2):
+            prow = jnp.concatenate(cols, axis=1).astype(y_v.dtype)
+            if blk_store:
+                p_v[slot, pl.ds(s * F, F), :] = prow
+            else:
+                p_v[slot, :, pl.ds(s * (LB // 2), LB // 2)] = prow
+        if blk_store:
             pltpu.make_async_copy(
-                p_v.at[slot, :, pl.ds(s * (LB // 2), LB // 2)],
-                pool_hbm.at[
-                    pl.ds((1 + g * (TR // 2) + s) * F + fb * FB, FB), :
-                ],
+                p_v.at[slot],
+                pool_hbm.at[pl.ds((1 + g * (TR // 2)) * F, (TR // 2) * F), :],
                 o_sem.at[slot],
             ).start()
+        else:
+            for s in range(TR // 2):
+                pltpu.make_async_copy(
+                    p_v.at[slot, :, pl.ds(s * (LB // 2), LB // 2)],
+                    pool_hbm.at[
+                        pl.ds((1 + g * (TR // 2) + s) * F + fb * FB, FB), :
+                    ],
+                    o_sem.at[slot],
+                ).start()
 
     # final step drains its own stores and (if any) the previous step's
     total = n_fb * steps
@@ -816,6 +849,12 @@ def conv3x3_phase(
         )
 
     adt = jnp.int8 if quant == "static" else jnp.bfloat16  # input act dtype
+    # single per-step output DMA when one F block sweeps the rows and the
+    # staging sublane offsets stay tile-aligned (bf16: 16, int8: 32)
+    blk_store = (
+        n_fb == 1 and not head
+        and F % (32 if out_q else 16) == 0
+    )
     scratch = []
     for i, c in enumerate(Cs):
         if upc and i == 1:
@@ -840,11 +879,18 @@ def conv3x3_phase(
         scratch += [
             pltpu.VMEM(((TR + 2) * c, LB), jnp.int8) for c in Cs
         ]
-    scratch += [
-        pltpu.VMEM((2, F2 if head else FB, TR * LB), odt),  # y x2
-    ]
+    if blk_store:
+        scratch += [pltpu.VMEM((2, TR * F, LB), odt)]  # y x2 (row-blocked)
+    else:
+        scratch += [
+            pltpu.VMEM((2, F2 if head else FB, TR * LB), odt),  # y x2
+        ]
     if pool:
-        scratch += [pltpu.VMEM((2, FB, (TR // 2) * (LB // 2)), odt)]
+        scratch += [
+            pltpu.VMEM((2, (TR // 2) * F, LB // 2), odt)
+            if blk_store
+            else pltpu.VMEM((2, FB, (TR // 2) * (LB // 2)), odt)
+        ]
     scratch += [
         pltpu.VMEM((FB, LB), odt),  # zero pad block
         pltpu.SemaphoreType.DMA((2, n_in)),
@@ -870,6 +916,7 @@ def conv3x3_phase(
             up_h=h,
             quant=quant,
             out_q=out_q,
+            blk_store=blk_store,
         ),
         out_shape=out_shapes,
         grid=(n_fb, steps),
@@ -891,6 +938,7 @@ def _convt_phase_kernel(
     TR: int,
     quant: bool = False,  # static int8: x int8, W int8, scales in ws
     out_q: bool = False,
+    blk_store: bool = False,  # single per-step output DMA
 ):
     it = iter(refs)
     x_hbm = next(it)
@@ -967,6 +1015,11 @@ def _convt_phase_kernel(
 
     # double-buffered output stores (drained before slot reuse)
     def wait_out(s):
+        if blk_store:
+            pltpu.make_async_copy(
+                y_v.at[s], o_hbm.at[pl.ds(0, 2 * TR * F), :], o_sem.at[s]
+            ).wait()
+            return
         for j in range(2 * TR):
             pltpu.make_async_copy(
                 y_v.at[s, :, pl.ds(j * LBO, LBO)],
@@ -1007,12 +1060,22 @@ def _convt_phase_kernel(
                 ],
                 axis=1,
             )  # (F, LBO)
-            y_v[slot, :, pl.ds((2 * t + dy) * LBO, LBO)] = row
-            pltpu.make_async_copy(
-                y_v.at[slot, :, pl.ds((2 * t + dy) * LBO, LBO)],
-                o_hbm.at[pl.ds((1 + (g * TR + t) * 2 + dy) * F, F), :],
-                o_sem.at[slot],
-            ).start()
+            if blk_store:
+                y_v[slot, pl.ds((2 * t + dy) * F, F), :] = row
+            else:
+                y_v[slot, :, pl.ds((2 * t + dy) * LBO, LBO)] = row
+                pltpu.make_async_copy(
+                    y_v.at[slot, :, pl.ds((2 * t + dy) * LBO, LBO)],
+                    o_hbm.at[pl.ds((1 + (g * TR + t) * 2 + dy) * F, F), :],
+                    o_sem.at[slot],
+                ).start()
+
+    if blk_store:
+        pltpu.make_async_copy(
+            y_v.at[slot],
+            o_hbm.at[pl.ds((1 + 2 * g * TR) * F, 2 * TR * F), :],
+            o_sem.at[slot],
+        ).start()
 
     @pl.when(g == steps - 1)
     def _():
@@ -1108,6 +1171,7 @@ def convt2x2_phase(
         ]))
     odt = jnp.int8 if out_q else jnp.bfloat16
     adt = jnp.int8 if quant else jnp.bfloat16
+    blk_store = F % (32 if out_q else 16) == 0
     scratch = [
         pltpu.VMEM((2, TR * C, P * WS), adt),
         pltpu.VMEM((4 * F, C), jnp.int8 if quant else jnp.bfloat16),
@@ -1116,7 +1180,9 @@ def convt2x2_phase(
     if quant or out_q:
         scratch.append(pltpu.VMEM((F + 8, 128), jnp.float32))
     scratch += [
-        pltpu.VMEM((2, F, 4 * TR * P * WS), odt),
+        pltpu.VMEM((2, 2 * TR * F, 2 * P * WS), odt)
+        if blk_store
+        else pltpu.VMEM((2, F, 4 * TR * P * WS), odt),
         pltpu.VMEM((F, 2 * P * WS), odt),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -1125,7 +1191,7 @@ def convt2x2_phase(
     out = pl.pallas_call(
         functools.partial(
             _convt_phase_kernel, C=C, F=F, P=P, WU=(w // 2) // P, TR=TR,
-            quant=bool(quant), out_q=out_q,
+            quant=bool(quant), out_q=out_q, blk_store=blk_store,
         ),
         out_shape=jax.ShapeDtypeStruct(((h + 2) * F, 2 * P * WS), odt),
         grid=(steps,),

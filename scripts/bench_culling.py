@@ -46,7 +46,9 @@ def main() -> None:
     # behind or beside the frustum
     E = np.eye(4)
 
-    unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True)
+    int8_mode = os.environ.get("BENCH_UNET_INT8", "static")
+    unet = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True,
+                quant_int8=int8_mode != "off")
     with jax.default_device(jax.devices("cpu")[0]):
         _, raw_variables = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
     variables = fold_batchnorm(raw_variables)
@@ -55,6 +57,20 @@ def main() -> None:
     colors = jnp.asarray(cols)
     validd = jnp.asarray(valid)
     M0 = jnp.asarray(cam.cam_proj(E), jnp.float32)
+
+    act_scales = None
+    if int8_mode == "static":
+        from rtnr_tpu.models.unet import calibrate_act_scales
+        from rtnr_tpu.ops.conv_phase import to_phase
+        from rtnr_tpu.pipeline import pyramid_pad_shape, render_filtered
+
+        mid = render_filtered(points, colors, validd, M0,
+                              width=width, height=height)
+        ph, pw = pyramid_pad_shape(height, width, 4)
+        xp = to_phase(mid["unet_input"][None].astype(jnp.bfloat16),
+                      1 << len(features))
+        act_scales = calibrate_act_scales(unet, variables,
+                                          x_phase=(xp, ph, pw, 5))
 
     index = build_block_index(sorted_scene, pad_to_multiple=1024)
     keep = cull_points(index, M0, validd, width=width, height=height)
@@ -65,7 +81,8 @@ def main() -> None:
 
     def run(p, c, v):
         def one_frame(M):
-            out = render_full(p, c, v, M, unet, variables, width=width, height=height)
+            out = render_full(p, c, v, M, unet, variables, width=width,
+                              height=height, act_scales=act_scales)
             return (out["rgb"][0, 0, 0].astype(jnp.float32)
                     + out["raw_depth"][0, 0]
                     + out["rgb_f"][height // 2, width // 2, 1])
