@@ -551,7 +551,7 @@ def raster_images_pallas4(
     sp: SortedPoints,
     hw: int,
     depth_band: float,
-    part_size: int = 16384,
+    part_size: int = 32768,  # r4 sweep: 7.35 vs 7.66 ms at 16384
     sub_chunk: int = 2048,  # v5e sweep (scripts/profile_resolve4.py)
     expand_part: int = 16384,
     expand_sub: int = 2048,  # r4 sweep: 7.43 vs 7.57 ms at SE=1024

@@ -41,6 +41,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rtnr_tpu.config import DEPTH_EMPTY
 from rtnr_tpu.ops.raster import (
     _pixel_ids,
+    _shift_left,
     _shift_right,
     place_rows_by_pixel,
     project_points,
@@ -63,6 +64,17 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
     zs = jnp.where((pix < hw) & (z < jnp.float32(DEPTH_EMPTY)), z,
                    jnp.float32(jnp.inf))
     zb = jax.lax.bitcast_convert_type(zs, jnp.int32)
+
+    import os
+
+    impl = os.environ.get("RTNR_DIFF_FWD", "auto")
+    if impl == "auto":
+        impl = "compact" if jax.default_backend() == "tpu" else "sort"
+    if impl in ("compact", "compact_interpret"):
+        return _fwd_shard_compact(
+            pts, cols, pix, zs, zb, hw=hw, depth_band=depth_band, axis=axis,
+            interp=impl == "compact_interpret",
+        )
 
     # per-shard carriers: every pixel owns a local segment, so the local
     # placement sort stays dense and each shard contributes exactly one
@@ -134,6 +146,89 @@ def _fwd_shard(pts, cols, val, M, *, width, height, depth_band, axis):
     # original-order residuals (pix, z) + the per-shard pixel-ownership
     # image; the backward re-derives band/head per point from the
     # replicated global z-buffer (ops/raster_diff.bwd_from_images)
+    return (sums, cnt, global_min), (pix, zs, own_px)
+
+
+def _fwd_shard_compact(pts, cols, pix, zs, zb, *, hw, depth_band, axis,
+                       interp=False):
+    """Carrier-free per-shard forward on the production machinery
+    (ops/raster_pallas4 compact_rows_by_rank + float-sums expand_winners
+    — the same kernels the single-device compact forward uses): the
+    n-point sort replaces the (n + hw) carrier sort, and two lean
+    compactions replace the two full-stream placement sorts. Values are
+    bit-identical to the carrier path (both produce f32 csum diffs at
+    segment ends; empty pixels read DEPTH_EMPTY from the expansion's
+    FLT_MAX seed — the same bits the carriers carried)."""
+    from rtnr_tpu.ops.raster import segment_broadcast_head
+    from rtnr_tpu.ops.raster_pallas4 import (
+        compact_rows_by_rank, expand_winners,
+    )
+
+    cf = cols.astype(jnp.float32)
+    pix_s, zb_s, r_s, g_s, b_s = jax.lax.sort(
+        (pix, zb, cf[:, 0], cf[:, 1], cf[:, 2]), num_keys=2, is_stable=False,
+    )
+    m = pix_s.shape[0]
+    z_s = jax.lax.bitcast_convert_type(zb_s, jnp.float32)
+    ok_s = pix_s < hw
+    is_head = pix_s != _shift_right(pix_s, jnp.int32(-1))
+    is_last = pix_s != _shift_left(pix_s, jnp.int32(-2))
+    head_pos = jax.lax.cummax(
+        jnp.where(is_head, jnp.arange(m, dtype=jnp.int32), jnp.int32(0))
+    )
+    zb_head = segment_broadcast_head(zb_s, is_head, head_pos)
+
+    winner = is_last & ok_s
+    wi = winner.astype(jnp.int32)
+    rank_incl = jnp.cumsum(wi)
+    rank_excl = rank_incl - wi
+    slot = jnp.where(winner, rank_excl, jnp.int32(-1))
+    total = rank_incl[-1]
+    L = 16384
+    starts = rank_excl[::L]
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+
+    # pass A: per-shard z-buffer (head depth per pixel; count > 0 flags
+    # occupancy so empties read the FLT_MAX seed)
+    cs_n = jnp.cumsum(ok_s.astype(jnp.float32))
+    csn_b = bc(cs_n)
+    wimg_a = compact_rows_by_rank(
+        slot, [csn_b, csn_b, csn_b, csn_b, zb_head, pix_s], total,
+        part_size=L, part_starts=starts, interpret=interp,
+    )
+    _, _, local_min = expand_winners(
+        wimg_a, total, hw, float_sums=True, interpret=interp,
+    )
+    global_min = jax.lax.pmin(local_min, axis)
+
+    # depth-gradient ownership: lowest mesh rank among exact-depth ties
+    rank = jax.lax.axis_index(axis).astype(jnp.int32)
+    owner = jax.lax.pmin(
+        jnp.where(local_min == global_min, rank, _I32_MAX), axis
+    )
+    own_px = (owner == rank).astype(jnp.int32)
+
+    # band against the GLOBAL z-buffer (reference two-pass structure,
+    # render.cu:101-106), gathered at the sorted pixel ids
+    min_d_s = jnp.take(global_min, jnp.where(ok_s, pix_s, 0))
+    min_d_s = jnp.where(ok_s, min_d_s, jnp.float32(jnp.inf))
+    in_band = ok_s & ~(z_s > min_d_s + jnp.float32(depth_band))
+    w_s = in_band.astype(jnp.float32)
+
+    # pass B: banded color sums as f32 csum diffs at segment ends
+    cs_r = jnp.cumsum(r_s * w_s)
+    cs_g = jnp.cumsum(g_s * w_s)
+    cs_b = jnp.cumsum(b_s * w_s)
+    cs_c = jnp.cumsum(w_s)
+    wimg_b = compact_rows_by_rank(
+        slot, [bc(cs_r), bc(cs_g), bc(cs_b), bc(cs_c), zb_head, pix_s],
+        total, part_size=L, part_starts=starts, interpret=interp,
+    )
+    sums3, cnt, _ = expand_winners(
+        wimg_b, total, hw, float_sums=True, interpret=interp,
+    )
+    sums = jax.lax.psum(sums3, axis)
+    cnt = jax.lax.psum(cnt, axis)
     return (sums, cnt, global_min), (pix, zs, own_px)
 
 

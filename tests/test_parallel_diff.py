@@ -173,3 +173,53 @@ def test_batched_sharded_matches_per_frame():
     ga = jax.grad(loss_b)(cols)
     gb = jax.grad(loss_1)(cols)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_sharded_compact_forward_bit_identical(monkeypatch):
+    """The sharded forward's compact path (production compact+expand
+    kernels, RTNR_DIFF_FWD=compact on TPU) is bit-identical to the
+    carrier-sort path — images and gradients."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rtnr_tpu.camera import Camera
+    from rtnr_tpu.parallel import diff as pdiff
+    from rtnr_tpu.parallel.mesh import make_mesh
+    from rtnr_tpu.scene import Scene
+
+    scene = Scene.synthetic(16_000, seed=0, extent=6.0)
+    p, c, v = scene.device_arrays(16)
+    cam = Camera.from_params(60, 60, 32, 24, 64, 48)
+    E = np.eye(4)
+    E[2, 3] = 8.0
+    M = jnp.asarray(cam.cam_proj(E), jnp.float32)
+    mesh = make_mesh((8,), ("points",))
+    pts = jnp.asarray(p)
+    cols = jnp.asarray(c).astype(jnp.float32)
+    val = jnp.asarray(v)
+
+    def run():
+        out = pdiff.rasterize_diff_point_sharded(
+            pts, cols, M, mesh, width=64, height=48, valid=val
+        )
+        return jax.tree.map(np.asarray, out)
+
+    def grads():
+        def loss(pp, cc, MM):
+            o = pdiff.rasterize_diff_point_sharded(
+                pp, cc, MM, mesh, width=64, height=48, valid=val
+            )
+            return (jnp.sum(o.rgb * 0.001)
+                    + jnp.sum(jnp.where(o.mask, o.depth, 0.0)) * 1e-6)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(pts, cols, M)
+
+    monkeypatch.setenv("RTNR_DIFF_FWD", "sort")
+    a, ga = run(), grads()
+    monkeypatch.setenv("RTNR_DIFF_FWD", "compact_interpret")
+    b, gb = run(), grads()
+    for f in ("rgb", "depth", "count", "mask"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
+    for x, y in zip(ga, gb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
