@@ -473,6 +473,7 @@ def _expand_kernel4(
         for k in range(6)
     ]
     wpix_clean = jnp.where(gidx_w < total, vr[5], _I32(hw))
+    dsums = []
     for k in range(4):
         prev = pltpu.roll(vr[k], 1, axis=1)
         if float_sums:
@@ -483,10 +484,32 @@ def _expand_kernel4(
                 gidx_w == 0, jnp.float32(0.0),
                 pltpu.bitcast(prev, jnp.float32),
             )
-            rows_v[k : k + 1, :] = pltpu.bitcast(d, jnp.int32)
+            d = pltpu.bitcast(d, jnp.int32)
         else:
-            rows_v[k : k + 1, :] = vr[k] - jnp.where(gidx_w == 0, 0, prev)
-    rows_v[4:5, :] = vr[4]
+            d = vr[k] - jnp.where(gidx_w == 0, 0, prev)
+        dsums.append(d)
+    if packed_out:
+        # resolve BEFORE placement: integer-average per WINNER (reference
+        # render.cu:160-162) in the window stage, so only TWO values place
+        # per sub-chunk (pk + depth) instead of five. Empty pixels read the
+        # placement's zeros: pk 0 = black, and depth places zb ^ FLT_MAX so
+        # the xor-back turns unplaced zeros into the FLT_MAX seed
+        # (project_cloud.cu:316).
+        cnt = dsums[3]
+        cpos = jnp.maximum(cnt, 1)
+        pk = jnp.where(
+            cnt > 0,
+            (dsums[0] // cpos)
+            | ((dsums[1] // cpos) << 8)
+            | ((dsums[2] // cpos) << 16),
+            0,
+        )
+        rows_v[0:1, :] = pk
+        rows_v[1:2, :] = vr[4] ^ _I32(_FLT_MAX_BITS)
+    else:
+        for k in range(4):
+            rows_v[k : k + 1, :] = dsums[k]
+        rows_v[4:5, :] = vr[4]
     rows_v[5:6, :] = wpix_clean
 
     NQ = SE // 128
@@ -501,28 +524,20 @@ def _expand_kernel4(
         gidx = s_al + lo_al + jax.lax.broadcasted_iota(_I32, (1, SW), 1)
         valid = (wpix >= base) & (wpix < base + SE) & (wpix < hw) & (gidx < total)
         d_row = jnp.where(valid, wpix - base, _I32(-1))  # (1, SW)
-        out_rows = _place_rows(list(vrows[:5]), d_row, NQ, place_int8)
-        # empty pixels: count==0 -> depth = FLT_MAX bits (reference seed,
-        # project_cloud.cu:316); color sums stay 0
-        # count>0: exact for i32 counts; for float_sums the count row is a
-        # non-negative f32 whose bit pattern is > 0 iff the value is > 0
-        depth = jnp.where(out_rows[3] > 0, out_rows[4], _I32(_FLT_MAX_BITS))
         if packed_out:
-            # fused resolve: integer-average (reference render.cu:160-162,
-            # floor division of non-negative sums) packed r|g<<8|b<<16 —
-            # skips the XLA stack/or/compare glue over the dense image
-            # (~1.9 ms of T(1,128)-layout fusions at 1080p, hlo_stats r3)
-            cnt = out_rows[3]
-            cpos = jnp.maximum(cnt, 1)
-            pk = jnp.where(
-                cnt > 0,
-                (out_rows[0] // cpos)
-                | ((out_rows[1] // cpos) << 8)
-                | ((out_rows[2] // cpos) << 16),
-                0,
+            out_rows = _place_rows(list(vrows[:2]), d_row, NQ, place_int8)
+            depth = out_rows[1] ^ _I32(_FLT_MAX_BITS)
+            out8 = jnp.concatenate(
+                [out_rows[0], depth, jnp.zeros((6, SE), _I32)], axis=0
             )
-            out8 = jnp.concatenate([pk, depth, jnp.zeros((6, SE), _I32)], axis=0)
         else:
+            out_rows = _place_rows(list(vrows[:5]), d_row, NQ, place_int8)
+            # empty pixels: count==0 -> depth = FLT_MAX bits (reference
+            # seed, project_cloud.cu:316); color sums stay 0. count>0 is
+            # exact for i32 counts; for float_sums the count row is a
+            # non-negative f32 whose bit pattern is > 0 iff value > 0.
+            depth = jnp.where(out_rows[3] > 0, out_rows[4],
+                              _I32(_FLT_MAX_BITS))
             out8 = jnp.concatenate(
                 out_rows[:4] + [depth, jnp.zeros((3, SE), _I32)], axis=0
             )
@@ -553,7 +568,7 @@ def raster_images_pallas4(
     depth_band: float,
     part_size: int = 32768,  # r4 sweep: 7.35 vs 7.66 ms at 16384
     sub_chunk: int = 2048,  # v5e sweep (scripts/profile_resolve4.py)
-    expand_part: int = 16384,
+    expand_part: int = 16384,  # 32768 exceeds scoped VMEM in-pipeline
     expand_sub: int = 2048,  # r4 sweep: 7.43 vs 7.57 ms at SE=1024
     packed_out: bool = False,
     interpret: bool = False,
