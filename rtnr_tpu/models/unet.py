@@ -664,7 +664,10 @@ class UNet(nn.Module):
                 skip_key = f"down{n_last - i}/c1"
                 prev_key = ("bottleneck/c1" if i == 0
                             else f"updc{i - 1}/c1")
-                if (not static and not no_fuse
+                # calibration must mirror the STATIC topology (which never
+                # fuses), else the fused branch would skip sowing u{i}t and
+                # the static forward would KeyError on its scale
+                if (not static and not calibrate and not no_fuse
                         and fuse_up_ok(hs, 2 * P, f, f, cc, f)):
                     P *= 2
                     (xp,) = updcs[i](

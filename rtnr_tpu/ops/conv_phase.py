@@ -93,8 +93,10 @@ def _conv_phase_kernel(
     w_hbm = next(it)
     h_hbm = next(it) if head else None
     b_hbm = next(it)
-    # (F+8, 128) f32: rows 0..F-1 per-channel weight scales (static mode:
-    # pre-multiplied by the input activation scale); row F = 1/out_scale
+    # (F+8, 128) f32: rows 0..F-1 per-channel dequant scales (static mode:
+    # pre-multiplied by the input activation scale, and 1/out_scale is
+    # pre-folded into them and the bias by the wrapper); rows F..F+7 are
+    # DMA-tiling padding the kernel never reads
     ws_hbm = next(it) if (quant or out_q) else None
     wt_hbm = next(it) if upc else None
     bt_hbm = next(it) if upc else None

@@ -225,8 +225,14 @@ def _diff_core_fwd_arrays(
         # winner carrying the inclusive f32 csums, compact winners by rank
         # (a lean Pallas placement instead of the full-stream placement
         # sort), and expand to the dense images (expand_winners
-        # float_sums). Values are bit-identical to the carrier path: both
-        # produce cs[segment end] - cs[previous segment end] in f32.
+        # float_sums). Values are bit-identical to the carrier path for
+        # distinct (pix, depth) keys: both produce cs[segment end] -
+        # cs[previous segment end] in f32. (With is_stable=False, exact
+        # duplicate (pix, z_bits) pairs may order differently between the
+        # n-point and (n+hw)-carrier sorts, so f32 cumsum rounding can
+        # differ there; likewise a real point whose whole segment is +inf
+        # is in-band here but out-of-band against a FLT_MAX carrier head.
+        # Neither case arises for finite, distinct-depth scenes.)
         from rtnr_tpu.ops.raster_pallas4 import (
             compact_rows_by_rank, expand_winners,
         )

@@ -507,8 +507,12 @@ class Renderer:
                 }
 
             @functools.partial(jax.jit, static_argnames=("height", "width"))
-            def stage_unet(unet_input, variables, *, height, width):
-                y = self.unet.apply(variables, unet_input[None])[0].astype(jnp.float32)
+            def stage_unet(unet_input, variables, act_scales, *, height, width):
+                # act_scales threaded so unet_int8='static' measures the
+                # same static path the fused default runs (not dynamic int8)
+                y = self.unet.apply(
+                    variables, unet_input[None], act_scales=act_scales
+                )[0].astype(jnp.float32)
                 y = y[:height, :width]
                 rgb8 = jnp.clip(jnp.rint(y * 255.0), 0, 255).astype(jnp.uint8)
                 return {"rgb": rgb8, "rgb_f": y}
@@ -521,6 +525,7 @@ class Renderer:
         pts, cols, valid = self._view_points(camera, extrinsics)
         w, h = camera.width, camera.height
         M = self._cam_proj(camera, extrinsics)
+        self._ensure_act_scales(pts, cols, valid, M, w, h)
 
         t0 = time.perf_counter()
         raw_rgb, raw_depth = jax.block_until_ready(
@@ -530,7 +535,8 @@ class Renderer:
         mid = jax.block_until_ready(stage_filter(raw_rgb, raw_depth, height=h, width=w))
         t2 = time.perf_counter()
         fin = jax.block_until_ready(
-            stage_unet(mid["unet_input"], self.unet_variables, height=h, width=w)
+            stage_unet(mid["unet_input"], self.unet_variables,
+                       self._act_scales, height=h, width=w)
         )
         t3 = time.perf_counter()
 

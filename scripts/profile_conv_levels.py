@@ -25,13 +25,23 @@ REPS = int(os.environ.get("BENCH_REPS", 20))
 def bench(h, P, F, quant):
     """Marginal per-conv cost: (time at 3 convs/iter - time at 1)/2 —
     differencing removes the per-iteration floor this backend carries on
-    isolated loops (CLAUDE.md timing notes)."""
+    isolated loops (CLAUDE.md timing notes). ``quant='static'`` feeds int8
+    activations (the deployment static path: int8 in HBM, int8 out)."""
     rng = np.random.default_rng(0)
     lb = P * 128
-    x0 = jnp.asarray(rng.normal(0, 1, ((h + 2) * F, lb)), jnp.bfloat16)
     k = jnp.asarray(rng.normal(0, 0.05, (3, 3, F, F)).astype(np.float32))
     b = jnp.zeros((F,), jnp.float32)
     w = P * 120 if P * 120 <= lb else lb  # bench WU=120 at full res
+    static = quant == "static"
+    if static:
+        x0 = jnp.asarray(
+            rng.integers(-127, 128, ((h + 2) * F, lb)), jnp.int8
+        )
+        scale = jnp.float32(0.05)
+        kw = dict(quant="static", in_scales=[scale], out_scale=scale)
+    else:
+        x0 = jnp.asarray(rng.normal(0, 1, ((h + 2) * F, lb)), jnp.bfloat16)
+        kw = dict(quant=quant)
 
     def timed(n_inner):
         @jax.jit
@@ -39,8 +49,9 @@ def bench(h, P, F, quant):
             def body(i, x):
                 for _ in range(n_inner):
                     (x,) = conv3x3_phase([x], k, b, h=h, w=w, P=P, relu=True,
-                                         quant=quant)
-                    x = x * jnp.bfloat16(0.5)  # keep activations bounded
+                                         **kw)
+                    if not static:
+                        x = x * jnp.bfloat16(0.5)  # keep activations bounded
                 return x
 
             return jax.lax.fori_loop(0, REPS, body, x)
@@ -68,11 +79,13 @@ def main():
     if only:
         keep = set(only.split(","))
         levels = [lv for lv in levels if lv[0].split()[0] in keep]
+    modes = os.environ.get("MODES", "bf16,dyn,static").split(",")
+    qmap = {"bf16": False, "dyn": True, "static": "static"}
     for name, h, P, F in levels:
         row = f"{name:12s} h={h:4d} P={P:2d} F={F:4d}:"
-        for quant in (False, True):
-            ms, tf = bench(h, P, F, quant)
-            row += f"  {'int8' if quant else 'bf16'} {ms:6.2f} ms ({tf:5.1f} TF/s)"
+        for mode in modes:
+            ms, tf = bench(h, P, F, qmap[mode])
+            row += f"  {mode} {ms:6.2f} ms ({tf:5.1f} TF/s)"
         print(row, flush=True)
 
 
