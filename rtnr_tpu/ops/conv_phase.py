@@ -85,6 +85,7 @@ def _conv_phase_kernel(
     quant: str = "",  # "" exact | "dyn" in-kernel act quant | "static"
     out_q: bool = False,  # quantize the output to int8 (static scale)
     blk_store: bool = False,  # single per-step output DMA (n_fb == 1)
+    pair: bool = False,  # two output rows per matmul (see wrapper gate)
 ):
     nw = 1 + int(head)
     upc = up_cd > 0
@@ -183,10 +184,12 @@ def _conv_phase_kernel(
         cp.wait()
         z_v[:, :] = jnp.zeros((FB, LB), z_v.dtype)
 
+    WR = (6 if pair else 3) * FB  # weight-block rows
+
     @pl.when(g == 0)
     def _():
         cp = pltpu.make_async_copy(
-            w_hbm.at[pl.ds(fb * 3 * FB, 3 * FB), :], w_v, wb_sem
+            w_hbm.at[pl.ds(fb * WR, WR), :], w_v, wb_sem
         )
         cp.start()
         cp.wait()
@@ -219,7 +222,7 @@ def _conv_phase_kernel(
         )
 
     sumC = sum(C)
-    w_lhs = w_v[:, :][:, 0 : 3 * sumC]
+    w_lhs = w_v[:, :][:, 0 : (4 if pair else 3) * sumC]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (FB, LB), 1)
     p = lane >> 7
@@ -342,27 +345,53 @@ def _conv_phase_kernel(
 
     # one matmul per image row directly on the fetched window — rows
     # [t*C, (t+3)*C) of the block ARE the dy-stacked taps, so no P matrix
-    # is ever materialized (saves a (3C, TR*LB) VPU copy per step)
+    # is ever materialized (saves a (3C, TR*LB) VPU copy per step).
+    # ``pair`` mode (wrapper gate): one matmul per ROW PAIR over the
+    # 4-row-block union window with the block-diagonal pair weights
+    # ((6FB, 4sumC): [[W0 W1 W2 0],[0 W0 W1 W2]] per input) — +33% FLOPs
+    # for fully-tiled M/K where the per-row (3FB, 3sumC) matmul fragments
+    # MXU tiles (K=M=192 at L0: 56% ceiling, PROFILE_r04.md).
     y_ts = []
+    Ai_pair = None
     for t in range(TR):
         skip_tail = False
+        if pair and t % 2 == 0:
+            if n_in == 1:
+                rhs_p = xs_v[0][slot][t * C[0] : (t + 4) * C[0], :]
+            else:
+                rhs_p = jnp.concatenate(
+                    [xs_v[i][slot][t * C[i] : (t + 4) * C[i], :]
+                     for i in range(n_in)],
+                    axis=0,
+                )
+            Ai_pair = jax.lax.dot_general(
+                w_lhs, rhs_p,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=(
+                    jnp.int32 if quant == "static" else jnp.float32
+                ),
+            )  # (6*FB, LB)
         if quant == "static":
             # int8 window straight from HBM (no in-kernel quantize pass);
             # tap combine entirely in i32 — the uniform activation scale
             # commutes with the lane rolls — then ONE fused dequant.
-            if n_in == 1:
-                rhs_q = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
+            if pair:
+                h3 = (t % 2) * 3 * FB
+                Ai = Ai_pair[h3 : h3 + 3 * FB, :]
             else:
-                rhs_q = jnp.concatenate(
-                    [xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
-                     for i in range(n_in)],
-                    axis=0,
-                )
-            Ai = jax.lax.dot_general(
-                w_lhs, rhs_q,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (3*FB, LB) i32
+                if n_in == 1:
+                    rhs_q = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
+                else:
+                    rhs_q = jnp.concatenate(
+                        [xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
+                         for i in range(n_in)],
+                        axis=0,
+                    )
+                Ai = jax.lax.dot_general(
+                    w_lhs, rhs_q,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (3*FB, LB) i32
             A0i, A1i, A2i = Ai[0:FB, :], Ai[FB : 2 * FB, :], Ai[2 * FB :, :]
             iz = jnp.int32(0)
             if P > 1:
@@ -403,16 +432,20 @@ def _conv_phase_kernel(
             A1 = Ai[FB : 2 * FB, :].astype(jnp.float32) * dq
             A2 = Ai[2 * FB :, :].astype(jnp.float32) * dq
         else:
-            if n_in == 1:
-                rhs = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
+            if pair:
+                h3 = (t % 2) * 3 * FB
+                A = Ai_pair[h3 : h3 + 3 * FB, :]
             else:
-                def tap(i):
-                    if upc and i == 1:
-                        return up_v[t * C[1] : (t + 3) * C[1], :]
-                    return xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
+                if n_in == 1:
+                    rhs = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
+                else:
+                    def tap(i):
+                        if upc and i == 1:
+                            return up_v[t * C[1] : (t + 3) * C[1], :]
+                        return xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
 
-                rhs = jnp.concatenate([tap(i) for i in range(n_in)], axis=0)
-            A = mm(w_lhs, rhs)  # (3*FB, LB) f32
+                    rhs = jnp.concatenate([tap(i) for i in range(n_in)], axis=0)
+                A = mm(w_lhs, rhs)  # (3*FB, LB) f32
             A0, A1, A2 = A[0:FB, :], A[FB : 2 * FB, :], A[2 * FB :, :]
 
         # timing ablation knob (scripts/profile_conv_levels.py): "noroll"
@@ -599,6 +632,7 @@ def _conv_phase_kernel(
 def _pick_tr_fb(
     h: int, P: int, Cs: Tuple[int, ...], F: int, pool: bool, head: bool,
     up_cd: int = 0, quant: bool = False, out_q: bool = False,
+    pair: bool = False,
 ) -> Tuple[int, int]:
     """Largest (rows-per-step, F-block) whose VMEM footprint fits (~13 MB
     of the 16 MB scoped limit), per the kernel's scratch + live values."""
@@ -632,7 +666,8 @@ def _pick_tr_fb(
                                 if f >= 8 and f % 8 == 0]
         if quant:  # int8 weight-block DMA rows (3*FB) must tile (32, 128)
             fbs = [f for f in fbs if (3 * f) % 32 == 0 or f == F]
-        k128 = _round_up(3 * sumC, 128)
+        wrows = 6 if pair else 3  # pair mode: (6FB, 4sumC) weight block
+        k128 = _round_up((4 if pair else 3) * sumC, 128)
         wbytes = 1 if quant else 2
         ybytes = 1 if out_q else 2  # int8-quantized outputs halve staging
         for fbl in fbs:
@@ -645,8 +680,8 @@ def _pick_tr_fb(
                 # weight block counts twice: the VMEM scratch AND the value
                 # the matmul loads from it (measured 16.4M scoped at the
                 # bottleneck when counted once)
-                + 2 * 3 * fbl * k128 * wbytes
-                + 3 * fbl * lb * 4  # per-row A f32/i32 (dies each row)
+                + 2 * wrows * fbl * k128 * wbytes
+                + wrows * fbl * lb * 4  # per-row/pair A f32/i32
                 + 2 * fbl * tr * lb * ybytes * (2 if pool else 1)  # y/pool x2
             )
             if est <= budget:
@@ -739,6 +774,34 @@ def conv3x3_phase(
     ), "static int8 DMA tiling needs 32-row-aligned channel counts"
     tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd, quant, out_q)
     TR = rows_per_step or tr_auto
+
+    # pair mode: two output rows per matmul over the 4-row-block union
+    # window. Profitable exactly when the padded-tile MXU work shrinks:
+    # ru(6FB,128) * ru(4sumC,128) < 2 * ru(3FB,128) * ru(3sumC,128) —
+    # at L0 (FB=sumC=64): 384x256 vs 2x 256x256, a 25% hardware-work cut
+    # for +33% logical FLOPs (K=M=192 fragments 1.5x1.5 tiles,
+    # PROFILE_r04.md). RTNR_PHASE_PAIR=0 disables (measured foil knob).
+    def _pair_profitable(fbl):
+        return (
+            _round_up(6 * fbl, 128) * _round_up(4 * sumC, 128)
+            < 2 * _round_up(3 * fbl, 128) * _round_up(3 * sumC, 128)
+        )
+
+    pair = (
+        os.environ.get("RTNR_PHASE_PAIR", "1") == "1"
+        and not upc and quant != "dyn"
+        and TR % 2 == 0
+        and _pair_profitable(FB)
+        and (not quant or (6 * FB) % 32 == 0)
+    )
+    if pair and rows_per_step is None:
+        # re-pick with the pair VMEM accounting (bigger weight block +
+        # (6FB, LB) accumulator)
+        tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd, quant,
+                                  out_q, pair=True)
+        TR = tr_auto
+        pair = (TR % 2 == 0 and _pair_profitable(FB)
+                and (not quant or (6 * FB) % 32 == 0))
     n_fb = F // FB
     assert h % TR == 0 and (not pool or (TR % 2 == 0 and P % 2 == 0))
     assert not upc or (n_fb == 1 and TR % 2 == 0)
@@ -782,19 +845,40 @@ def conv3x3_phase(
         kp = kernel[:, :, off : off + c, :]
         off += c
         kparts.append(kp.transpose(1, 3, 0, 2).reshape(3 * F, 3 * c))
-    w2 = jnp.concatenate(kparts, axis=1).astype(
-        jnp.int8 if quant else jnp.bfloat16
-    )
-    # rearrange into F blocks (block fb holds rows (dx, fb*FB + j)); the
-    # K dim pads to a lane tile so the per-block DMA slice is legal
-    # (sub-128 minor dims cannot be memref_sliced)
-    K128 = _round_up(3 * sumC, 128)
-    w2 = (
-        w2.reshape(3, n_fb, FB, 3 * sumC)
-        .transpose(1, 0, 2, 3)
-        .reshape(n_fb * 3 * FB, 3 * sumC)
-    )
-    w2 = jnp.pad(w2, ((0, 0), (0, K128 - 3 * sumC)))
+    wdt = jnp.int8 if quant else jnp.bfloat16
+    if pair:
+        # block-diagonal pair weights: per input, row-t block [Wdy | 0_c]
+        # and row-(t+1) block [0_c | Wdy] over the 4-row-block union
+        # window; rows ordered (half, dx, f)
+        tops, bots = [], []
+        for i, c in enumerate(Cs):
+            kp = kparts[i]  # (3F, 3c), rows (dx, f)
+            z = jnp.zeros((3 * F, c), kp.dtype)
+            tops.append(jnp.concatenate([kp, z], axis=1))
+            bots.append(jnp.concatenate([z, kp], axis=1))
+        w2 = jnp.concatenate(
+            [jnp.concatenate(tops, axis=1), jnp.concatenate(bots, axis=1)],
+            axis=0,
+        ).astype(wdt)  # (6F, 4sumC)
+        K128 = _round_up(4 * sumC, 128)
+        w2 = (
+            w2.reshape(2, 3, n_fb, FB, 4 * sumC)
+            .transpose(2, 0, 1, 3, 4)
+            .reshape(n_fb * 6 * FB, 4 * sumC)
+        )
+        w2 = jnp.pad(w2, ((0, 0), (0, K128 - 4 * sumC)))
+    else:
+        w2 = jnp.concatenate(kparts, axis=1).astype(wdt)
+        # rearrange into F blocks (block fb holds rows (dx, fb*FB + j)); the
+        # K dim pads to a lane tile so the per-block DMA slice is legal
+        # (sub-128 minor dims cannot be memref_sliced)
+        K128 = _round_up(3 * sumC, 128)
+        w2 = (
+            w2.reshape(3, n_fb, FB, 3 * sumC)
+            .transpose(1, 0, 2, 3)
+            .reshape(n_fb * 3 * FB, 3 * sumC)
+        )
+        w2 = jnp.pad(w2, ((0, 0), (0, K128 - 3 * sumC)))
 
     bvec = jnp.zeros((F,), jnp.float32) if bias is None else bias
     if out_q:
@@ -865,7 +949,8 @@ def conv3x3_phase(
             )
         else:
             scratch.append(pltpu.VMEM((2, (TR + 2) * c, LB), adt))
-    scratch += [pltpu.VMEM((3 * FB, K128), jnp.int8 if quant else jnp.bfloat16)]
+    scratch += [pltpu.VMEM(((6 if pair else 3) * FB, K128),
+                           jnp.int8 if quant else jnp.bfloat16)]
     if head:
         scratch += [pltpu.VMEM((F2, _round_up(F, 128)), jnp.bfloat16)]
     scratch += [pltpu.VMEM((F + (F2 if head else 0), 128), jnp.bfloat16)]
@@ -919,6 +1004,7 @@ def conv3x3_phase(
             quant=quant,
             out_q=out_q,
             blk_store=blk_store,
+            pair=pair,
         ),
         out_shape=out_shapes,
         grid=(n_fb, steps),

@@ -273,64 +273,52 @@ def _winners_kernel4(
     # INCLUSIVE global csums: the expansion recovers each pixel's sums as
     # the difference between consecutive winner ranks, which removes the
     # 32-row pre-head prefix broadcast cascade entirely ----
+    # the winner-rank csum rides the SAME block-scan as the contribution
+    # csums (rows 32..39): one 40-row triangular MXU scan + one cascade
+    # replaces two (the (8, Lc) rank scan's matmuls cost a full 128-row
+    # MXU pass each — merged they are free)
     w_i = real * in_band.astype(_I32)
-    X = jnp.concatenate([r * w_i, g * w_i, b * w_i, w_i], axis=0)  # (32, Lc)
+    X = jnp.concatenate(
+        [r * w_i, g * w_i, b * w_i, w_i, winner.astype(_I32)], axis=0
+    )  # (40, Lc)
     TS = tri_v.shape[0]
     xb = X.astype(jnp.bfloat16)
     blocks = []
-    carry32 = jnp.zeros((32, 1), jnp.float32)
+    carry40 = jnp.zeros((40, 1), jnp.float32)
     for jb in range(Lc // TS):
         blk = jax.lax.dot_general(
             xb[:, jb * TS : (jb + 1) * TS], tri_v[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + carry32
+        ) + carry40
         blocks.append(blk)
-        carry32 = pltpu.roll(blk, 1, axis=1)[:, 0:1]
-    X_lane = jnp.concatenate(blocks, axis=1).astype(_I32)
-    T = last_col(X_lane)
-    row32 = jax.lax.broadcasted_iota(_I32, (32, 1), 0)
-    g32 = row32 & 7
+        carry40 = pltpu.roll(blk, 1, axis=1)[:, 0:1]
+    Y_lane = jnp.concatenate(blocks, axis=1).astype(_I32)
+    T = last_col(Y_lane)
+    row40 = jax.lax.broadcasted_iota(_I32, (40, 1), 0)
+    g40 = row40 & 7
     acc = T
     s = 1
     while s < 8:
-        sh = jnp.concatenate([jnp.zeros((s, 1), _I32), acc[0 : 32 - s]], axis=0)
-        acc = acc + jnp.where(g32 >= s, sh, 0)
+        sh = jnp.concatenate([jnp.zeros((s, 1), _I32), acc[0 : 40 - s]], axis=0)
+        acc = acc + jnp.where(g40 >= s, sh, 0)
         s *= 2
-    grp = row32 >> 3
-    base4 = jnp.where(
+    grp = row40 >> 3
+    base5 = jnp.where(
         grp == 0,
         carry[0],
-        jnp.where(grp == 1, carry[1], jnp.where(grp == 2, carry[2], carry[3])),
+        jnp.where(
+            grp == 1,
+            carry[1],
+            jnp.where(grp == 2, carry[2],
+                      jnp.where(grp == 3, carry[3], carry[14])),
+        ),
     )
-    pre_row = (acc - T) + base4
-    Xg = X_lane + pre_row
-
+    pre_row = (acc - T) + base5
+    Yg = Y_lane + pre_row
+    Xg = Yg[0:32]
     SUM = Xg  # inclusive csums; the expansion diffs consecutive winners
-
-    # ---- winner-rank csum (one more MXU block-scan, 8 rows) ----
-    wb = winner.astype(jnp.bfloat16)
-    wblocks = []
-    cw = jnp.zeros((8, 1), jnp.float32)
-    for jb in range(Lc // TS):
-        blk = jax.lax.dot_general(
-            wb[:, jb * TS : (jb + 1) * TS], tri_v[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + cw
-        wblocks.append(blk)
-        cw = pltpu.roll(blk, 1, axis=1)[:, 0:1]
-    Wl = jnp.concatenate(wblocks, axis=1).astype(_I32)
-    Tw = last_col(Wl)
-    row8 = jax.lax.broadcasted_iota(_I32, (8, 1), 0)
-    accw = Tw
-    s = 1
-    while s < 8:
-        sh = jnp.concatenate([jnp.zeros((s, 1), _I32), accw[0 : 8 - s]], axis=0)
-        accw = accw + jnp.where(row8 >= s, sh, 0)
-        s *= 2
-    pre_w = (accw - Tw) + carry[14]
-    Wg = Wl + pre_w  # global inclusive winner csum
+    Wg = Yg[32:40]  # global inclusive winner csum
     Wexcl = Wg - winner.astype(_I32)
 
     # ---- placement by winner rank (factored one-hot, v3 recipe) ----
