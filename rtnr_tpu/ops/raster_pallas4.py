@@ -263,10 +263,13 @@ def _winners_kernel4(
     next_pix = jnp.where(
         lane == Lc - 1, pix16[1:9, 0:1], pltpu.roll(pix, Lc - 1, axis=1)
     )
-    next_zb = jnp.where(lane == Lc - 1, zb16[1:9, 0:1], pltpu.roll(zb, Lc - 1, axis=1))
-    next_z = jax.lax.bitcast_convert_type(next_zb, jnp.float32)
     is_last = pix != next_pix
-    winner = in_band & (is_last | (next_z > z_head + jnp.float32(depth_band)))
+    # the winner row is the SEGMENT END, not the last in-band element:
+    # out-of-band elements contribute zero to the csums, so the inclusive
+    # csums at segment end equal those at the last in-band element, and
+    # h_zb/pix are segment-wide — bit-identical winner values with one
+    # fewer roll/compare chain (the next-z band test is gone)
+    winner = ok & is_last
 
     # ---- IN-BAND-weighted contribution csum (MXU triangular block-scan).
     # Out-of-band elements contribute zero, so the winner rows can carry the
@@ -597,7 +600,11 @@ def raster_images_pallas4(
     zb_p = padit(z_bits, jax.lax.bitcast_convert_type(jnp.float32(jnp.inf), jnp.int32))
     packed_p = padit(packed, jnp.int32(0))
 
-    TS = min(512, Lc)
+    # the (TS, TS) triangular scan operand counts twice against scoped
+    # VMEM (buffer + loaded value); at L=65536 the 512-tile overflows the
+    # 16 MB limit by ~0.6 MB — halve it there (more scan blocks, same MXU
+    # work)
+    TS = min(512 if L <= 32768 else 256, Lc)
     assert Lc % TS == 0
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (TS, TS), 0)
