@@ -63,9 +63,10 @@ def _place_rows(vals, d_row, NQ, int8: bool):
     q_iota = jax.lax.broadcasted_iota(_I32, (NQ, W), 0)
     hit = (d_row >> 7) == q_iota  # (NQ, W); rows select 128-blocks
     d_col = d_row.reshape(W, 1)
-    Rm = ((d_col & 127) == jax.lax.broadcasted_iota(_I32, (W, 128), 1)) & (
-        d_col >= 0
-    )
+    # no d_col >= 0 term: invalid elements (-1 >> 7 == -1) miss every hit
+    # row, so their value/occupancy contributions are zero regardless of
+    # which Rm lane (-1 & 127 == 127) they select
+    Rm = (d_col & 127) == jax.lax.broadcasted_iota(_I32, (W, 128), 1)
     nv = len(vals)
     if int8:
         blocks = []
@@ -141,6 +142,7 @@ def _winners_kernel4(
     tri_v,
     part_out,
     carry,  # SMEM (18,)
+    offs,  # SMEM (8 * Lc // S,) — per-sub-chunk placement offsets
     in_sem,
     tri_sem,
     out_sem,
@@ -286,16 +288,25 @@ def _winners_kernel4(
     )  # (40, Lc)
     TS = tri_v.shape[0]
     xb = X.astype(jnp.bfloat16)
-    blocks = []
-    carry40 = jnp.zeros((40, 1), jnp.float32)
-    for jb in range(Lc // TS):
-        blk = jax.lax.dot_general(
+    # two-phase scan: all block dots issue first (independent — the MXU
+    # streams them back-to-back instead of stalling on each block's carry
+    # roll), then the carry chain runs on the tiny (40, 1) block totals
+    # (bit-identical: f32 a+b == b+a, and each lane still receives the
+    # same two-term sum dot + prefix)
+    dots = [
+        jax.lax.dot_general(
             xb[:, jb * TS : (jb + 1) * TS], tri_v[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + carry40
-        blocks.append(blk)
-        carry40 = pltpu.roll(blk, 1, axis=1)[:, 0:1]
+        )
+        for jb in range(Lc // TS)
+    ]
+    totals = [pltpu.roll(d, 1, axis=1)[:, 0:1] for d in dots]
+    blocks = []
+    carry40 = jnp.zeros((40, 1), jnp.float32)
+    for jb in range(Lc // TS):
+        blocks.append(dots[jb] + carry40)
+        carry40 = carry40 + totals[jb]
     Y_lane = jnp.concatenate(blocks, axis=1).astype(_I32)
     T = last_col(Y_lane)
     row40 = jax.lax.broadcasted_iota(_I32, (40, 1), 0)
@@ -330,13 +341,23 @@ def _winners_kernel4(
     slots_all = jnp.where(winner, Wexcl - o_part, _I32(-1))
 
     NQ = S // 128
-    o_sub = _I32(0)
+    nj = Lc // S
+    # every sub-chunk's placement offset is the rank csum at its first
+    # element (Wexcl) — written to SMEM up-front as INDEPENDENT reductions,
+    # so the placement loop below has no serial count -> offset dependency
+    # between sub-chunks (the old o_sub accumulation interleaved a vector
+    # reduce + SMEM round trip into every placement)
     for c in range(8):
-        for j in range(Lc // S):
+        for j in range(nj):
+            offs[c * nj + j] = jnp.sum(
+                jnp.where(lane[c : c + 1, :] == j * S,
+                          Wexcl[c : c + 1, :] - o_part, 0)
+            )
+    for c in range(8):
+        for j in range(nj):
             sl = slice(j * S, (j + 1) * S)
-            w_sub = winner[c : c + 1, sl]
+            o_sub = offs[c * nj + j]
             sl_sub = slots_all[c : c + 1, sl]
-            k_c = jnp.sum(w_sub.astype(_I32))
 
             vals = (SUM[c : c + 1, sl], SUM[8 + c : 9 + c, sl],
                     SUM[16 + c : 17 + c, sl], SUM[24 + c : 25 + c, sl],
@@ -346,8 +367,7 @@ def _winners_kernel4(
             out8 = jnp.concatenate(out_rows + [jnp.zeros((2, S), _I32)], axis=0)
 
             q = r_part + o_sub
-            carry[11] = (q // 128) * 128
-            q_al = pl.multiple_of(carry[11], 128)
+            q_al = pl.multiple_of(((q // 128) * 128), 128)
             rq = q - q_al
             padded = jnp.concatenate([out8, jnp.zeros((8, 128), _I32)], axis=1)
             rolled = pltpu.roll(padded, rq, axis=1)
@@ -355,7 +375,7 @@ def _winners_kernel4(
             tmask = (lane_t >= rq) & (lane_t < rq + S)
             cur = part_out[slot, :, pl.ds(q_al, S + 128)]
             part_out[slot, :, pl.ds(q_al, S + 128)] = jnp.where(tmask, rolled, cur)
-            o_sub = o_sub + k_c
+    o_sub = Wg[7, Lc - 1] - o_part  # winners in this part
 
     # double-buffered output stores: this part's DMA drains while the next
     # part computes; the previous part's DMA (a full part of compute old)
@@ -403,7 +423,9 @@ def _winners_kernel4(
 
 
 def _expand_kernel4(
-    starts_ref,  # SMEM (PB,) i32 — winner index of each part's first pixel
+    starts_ref,  # SMEM (PB * n_sub,) i32 — winner index of each SE-chunk's
+    # first pixel (index p * n_sub + j); the in-kernel per-sub-chunk count
+    # scan this replaces was a serial vector-reduce -> SMEM -> slice chain
     total_ref,  # SMEM (1,) i32 — number of winners
     wimg_hbm,  # (8, out_w) i32 winner stream
     out_hbm,  # (8, PB*PL) i32 dense image
@@ -432,7 +454,7 @@ def _expand_kernel4(
     # carry INCLUSIVE csums, and each pixel's sums are the diff against the
     # previous rank.
     def start_fetch(pp, s):
-        smem[s] = jnp.maximum((starts_ref[pp] // 128) * 128 - 128, 0)
+        smem[s] = jnp.maximum((starts_ref[pp * n_sub] // 128) * 128 - 128, 0)
         sa = pl.multiple_of(smem[s], 128)
         pltpu.make_async_copy(
             wimg_hbm.at[:, pl.ds(sa, W_WIN)], win_v.at[s], in_sem.at[s]
@@ -507,9 +529,12 @@ def _expand_kernel4(
     SW = SE + 128
     for j in range(n_sub):
         base = p * PL + j * SE
-        cnt = jnp.sum((wpix_clean < base).astype(_I32))
-        smem[2] = (cnt // 128) * 128
-        lo_al = pl.multiple_of(smem[2], 128)
+        # window-relative winner count below `base` straight from the
+        # prefetched SE-granularity searchsorted (no in-kernel scan, no
+        # SMEM round trip: scalar-prefetch arithmetic only)
+        lo_al = pl.multiple_of(
+            (((starts_ref[p * n_sub + j] - s_al) // 128) * 128), 128
+        )
         vrows = [rows_v[k : k + 1, pl.ds(lo_al, SW)] for k in range(6)]
         wpix = vrows[5]
         gidx = s_al + lo_al + jax.lax.broadcasted_iota(_I32, (1, SW), 1)
@@ -627,6 +652,7 @@ def raster_images_pallas4(
             pltpu.VMEM((TS, TS), jnp.bfloat16),
             pltpu.VMEM((2, 8, L + 256), jnp.int32),
             pltpu.SMEM((18,), jnp.int32),
+            pltpu.SMEM((8 * (Lc // S),), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
@@ -863,9 +889,12 @@ def expand_winners(
         place_int8 = os.environ.get("RTNR_PLACE_INT8", "1") == "1"
     out_w = wimg.shape[1]
     PB = -(-hw // PL)
+    n_sub = PL // SE
     lanes = jnp.arange(out_w, dtype=jnp.int32)
     wpix_clean = jnp.where(lanes < total, wimg[5], jnp.int32(hw))
-    targets = jnp.arange(PB, dtype=jnp.int32) * jnp.int32(PL)
+    # SE-granularity starts: the kernel's per-sub-chunk windows come
+    # straight from scalar prefetch (index p * n_sub + j)
+    targets = jnp.arange(PB * n_sub, dtype=jnp.int32) * jnp.int32(SE)
     starts = jnp.searchsorted(wpix_clean, targets, side="left").astype(jnp.int32)
 
     img = pl.pallas_call(
@@ -881,7 +910,7 @@ def expand_winners(
                 pltpu.VMEM((2, 8, PL + SE + 384), jnp.int32),
                 pltpu.VMEM((8, PL + SE + 384), jnp.int32),
                 pltpu.VMEM((2, 8, PL), jnp.int32),
-                pltpu.SMEM((3,), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

@@ -230,3 +230,42 @@ def test_bench_fps_floor(bench_scene):
     ms = _chained_ms(body, jnp.float32(0.0))
     fps = 1e3 / ms
     assert fps > 24.0, f"full pipeline {fps:.2f} fps under the 24 fps gate"
+
+
+def test_end_to_end_int8_error_budget(bench_scene):
+    """END-TO-END int8-vs-bf16 RGB error at the bench operating point
+    (VERDICT r5 item 3): the full pipeline (raster + prefilter + U-Net)
+    rendered with the deployment static-int8 U-Net vs the exact bf16
+    pipeline, on the real 5M-pt / 1080p frame. The budget is the PARITY.md
+    ~2%-of-range mean — precision can never silently buy fps beyond it.
+    (The U-Net-in-isolation gate above uses random inputs; this one uses
+    the REAL rendered activations.)"""
+    from rtnr_tpu.models.fold_bn import fold_batchnorm
+    from rtnr_tpu.models.unet import UNet, calibrate_act_scales, init_unet
+    from rtnr_tpu.ops.conv_phase import to_phase
+    from rtnr_tpu.pipeline import pyramid_pad_shape, render_filtered, render_full
+
+    points, colors, valid, M0 = bench_scene
+    features = (64, 128, 256, 512)
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, raw = init_unet(jax.random.PRNGKey(0), 64, 64, features=features)
+    variables = jax.device_put(fold_batchnorm(raw))
+    exact = UNet(features=features, dtype=jnp.bfloat16, fold_bn=True)
+    qnet = exact.clone(quant_int8=True)
+    mid = render_filtered(points, colors, valid, M0, width=1920, height=1080)
+    ph, pw = pyramid_pad_shape(1080, 1920, 4)
+    xp = to_phase(mid["unet_input"][None].astype(jnp.bfloat16), 16)
+    scales = calibrate_act_scales(exact, variables, x_phase=(xp, ph, pw, 5))
+
+    # render a NON-calibration pose too (the trajectory drift case)
+    for dx in (0.0, 0.25):
+        M = M0.at[0, 3].add(jnp.float32(dx))
+        a = render_full(points, colors, valid, M, exact, variables,
+                        width=1920, height=1080)
+        q = render_full(points, colors, valid, M, qnet, variables,
+                        width=1920, height=1080, act_scales=scales)
+        ya = np.asarray(a["rgb_f"], np.float32)
+        yq = np.asarray(q["rgb_f"], np.float32)
+        rng = max(float(np.abs(ya).max()), 1e-6)
+        assert np.abs(ya - yq).mean() <= 0.02 * rng, f"dx={dx} mean err"
+        assert np.abs(ya - yq).max() <= 0.12 * rng, f"dx={dx} max err"
