@@ -423,9 +423,7 @@ def _winners_kernel4(
 
 
 def _expand_kernel4(
-    starts_ref,  # SMEM (PB * n_sub,) i32 — winner index of each SE-chunk's
-    # first pixel (index p * n_sub + j); the in-kernel per-sub-chunk count
-    # scan this replaces was a serial vector-reduce -> SMEM -> slice chain
+    starts_ref,  # SMEM (PB,) i32 — winner index of each part's first pixel
     total_ref,  # SMEM (1,) i32 — number of winners
     wimg_hbm,  # (8, out_w) i32 winner stream
     out_hbm,  # (8, PB*PL) i32 dense image
@@ -454,7 +452,7 @@ def _expand_kernel4(
     # carry INCLUSIVE csums, and each pixel's sums are the diff against the
     # previous rank.
     def start_fetch(pp, s):
-        smem[s] = jnp.maximum((starts_ref[pp * n_sub] // 128) * 128 - 128, 0)
+        smem[s] = jnp.maximum((starts_ref[pp] // 128) * 128 - 128, 0)
         sa = pl.multiple_of(smem[s], 128)
         pltpu.make_async_copy(
             wimg_hbm.at[:, pl.ds(sa, W_WIN)], win_v.at[s], in_sem.at[s]
@@ -529,12 +527,16 @@ def _expand_kernel4(
     SW = SE + 128
     for j in range(n_sub):
         base = p * PL + j * SE
-        # window-relative winner count below `base` straight from the
-        # prefetched SE-granularity searchsorted (no in-kernel scan, no
-        # SMEM round trip: scalar-prefetch arithmetic only)
-        lo_al = pl.multiple_of(
-            (((starts_ref[p * n_sub + j] - s_al) // 128) * 128), 128
-        )
+        # NOTE (r5): three attempts to replace this per-sub-chunk count
+        # scan with SE-granularity searchsorted offsets (prefetch-read
+        # arithmetic, SMEM-routed arithmetic, fully-precomputed prefetch
+        # values) ALL faulted the TPU worker at the 5M/1080p shape in the
+        # 5-value expansion — with values verified identical, in-bounds,
+        # and a verified-monotone winner stream. Mosaic scalar handling;
+        # the in-kernel reduce stays.
+        cnt = jnp.sum((wpix_clean < base).astype(_I32))
+        smem[2] = (cnt // 128) * 128
+        lo_al = pl.multiple_of(smem[2], 128)
         vrows = [rows_v[k : k + 1, pl.ds(lo_al, SW)] for k in range(6)]
         wpix = vrows[5]
         gidx = s_al + lo_al + jax.lax.broadcasted_iota(_I32, (1, SW), 1)
@@ -892,9 +894,7 @@ def expand_winners(
     n_sub = PL // SE
     lanes = jnp.arange(out_w, dtype=jnp.int32)
     wpix_clean = jnp.where(lanes < total, wimg[5], jnp.int32(hw))
-    # SE-granularity starts: the kernel's per-sub-chunk windows come
-    # straight from scalar prefetch (index p * n_sub + j)
-    targets = jnp.arange(PB * n_sub, dtype=jnp.int32) * jnp.int32(SE)
+    targets = jnp.arange(PB, dtype=jnp.int32) * jnp.int32(PL)
     starts = jnp.searchsorted(wpix_clean, targets, side="left").astype(jnp.int32)
 
     img = pl.pallas_call(
@@ -910,7 +910,7 @@ def expand_winners(
                 pltpu.VMEM((2, 8, PL + SE + 384), jnp.int32),
                 pltpu.VMEM((8, PL + SE + 384), jnp.int32),
                 pltpu.VMEM((2, 8, PL), jnp.int32),
-                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SMEM((3,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

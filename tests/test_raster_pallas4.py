@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from rtnr_tpu.camera import Camera
 from rtnr_tpu.ops.raster import project_and_sort, raster_images
 from rtnr_tpu.ops.raster_pallas4 import raster_images_pallas4
-from tests.test_raster_pallas import make_sp
+from tests.test_foils import make_sp
 
 
 def make_sp_nc(n, w, h, seed=0, dense=False):
