@@ -86,6 +86,7 @@ def _conv_phase_kernel(
     out_q: bool = False,  # quantize the output to int8 (static scale)
     blk_store: bool = False,  # single per-step output DMA (n_fb == 1)
     pair: bool = False,  # two output rows per matmul (see wrapper gate)
+    npair: bool = False,  # two row-steps per matmul along N (shared lhs)
 ):
     nw = 1 + int(head)
     upc = up_cd > 0
@@ -353,24 +354,39 @@ def _conv_phase_kernel(
     # MXU tiles (K=M=192 at L0: 56% ceiling, PROFILE_r04.md).
     y_ts = []
     Ai_pair = None
+
+    def winslice(tt, rows=3):
+        if n_in == 1:
+            return xs_v[0][slot][tt * C[0] : (tt + rows) * C[0], :]
+        return jnp.concatenate(
+            [xs_v[i][slot][tt * C[i] : (tt + rows) * C[i], :]
+             for i in range(n_in)],
+            axis=0,
+        )
+
     for t in range(TR):
         skip_tail = False
         if pair and t % 2 == 0:
-            if n_in == 1:
-                rhs_p = xs_v[0][slot][t * C[0] : (t + 4) * C[0], :]
-            else:
-                rhs_p = jnp.concatenate(
-                    [xs_v[i][slot][t * C[i] : (t + 4) * C[i], :]
-                     for i in range(n_in)],
-                    axis=0,
-                )
             Ai_pair = jax.lax.dot_general(
-                w_lhs, rhs_p,
+                w_lhs, winslice(t, rows=4),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=(
                     jnp.int32 if quant == "static" else jnp.float32
                 ),
             )  # (6*FB, LB)
+        elif npair and t % 2 == 0:
+            # shared-lhs N-doubling: both row-steps' windows ride one
+            # matmul as lane-concatenated rhs — same FLOPs, twice the
+            # streamed N per weight residency (deep levels' N = P*WS is
+            # down to 256 lanes; longer N amortizes per-dot overheads)
+            rhs_n = jnp.concatenate([winslice(t), winslice(t + 1)], axis=1)
+            Ai_pair = jax.lax.dot_general(
+                w_lhs, rhs_n,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=(
+                    jnp.int32 if quant == "static" else jnp.float32
+                ),
+            )  # (3*FB, 2*LB)
         if quant == "static":
             # int8 window straight from HBM (no in-kernel quantize pass);
             # tap combine entirely in i32 — the uniform activation scale
@@ -378,17 +394,11 @@ def _conv_phase_kernel(
             if pair:
                 h3 = (t % 2) * 3 * FB
                 Ai = Ai_pair[h3 : h3 + 3 * FB, :]
+            elif npair:
+                Ai = Ai_pair[:, (t % 2) * LB : (t % 2 + 1) * LB]
             else:
-                if n_in == 1:
-                    rhs_q = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
-                else:
-                    rhs_q = jnp.concatenate(
-                        [xs_v[i][slot][t * C[i] : (t + 3) * C[i], :]
-                         for i in range(n_in)],
-                        axis=0,
-                    )
                 Ai = jax.lax.dot_general(
-                    w_lhs, rhs_q,
+                    w_lhs, winslice(t),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )  # (3*FB, LB) i32
@@ -435,6 +445,8 @@ def _conv_phase_kernel(
             if pair:
                 h3 = (t % 2) * 3 * FB
                 A = Ai_pair[h3 : h3 + 3 * FB, :]
+            elif npair:
+                A = Ai_pair[:, (t % 2) * LB : (t % 2 + 1) * LB]
             else:
                 if n_in == 1:
                     rhs = xs_v[0][slot][t * C[0] : (t + 3) * C[0], :]
@@ -632,7 +644,7 @@ def _conv_phase_kernel(
 def _pick_tr_fb(
     h: int, P: int, Cs: Tuple[int, ...], F: int, pool: bool, head: bool,
     up_cd: int = 0, quant: bool = False, out_q: bool = False,
-    pair: bool = False,
+    pair: bool = False, npair: bool = False,
 ) -> Tuple[int, int]:
     """Largest (rows-per-step, F-block) whose VMEM footprint fits (~13 MB
     of the 16 MB scoped limit), per the kernel's scratch + live values."""
@@ -681,7 +693,10 @@ def _pick_tr_fb(
                 # the matmul loads from it (measured 16.4M scoped at the
                 # bottleneck when counted once)
                 + 2 * wrows * fbl * k128 * wbytes
-                + wrows * fbl * lb * 4  # per-row/pair A f32/i32
+                # per-row/pair A accumulator (npair: (3FB, 2LB) + the rhs
+                # lane-concat copy)
+                + wrows * fbl * lb * 4 * (2 if npair else 1)
+                + (3 * sumC * 2 * lb * wbytes if npair else 0)
                 + 2 * fbl * tr * lb * ybytes * (2 if pool else 1)  # y/pool x2
             )
             if est <= budget:
@@ -802,6 +817,21 @@ def conv3x3_phase(
         TR = tr_auto
         pair = (TR % 2 == 0 and _pair_profitable(FB)
                 and (not quant or (6 * FB) % 32 == 0))
+    # shared-lhs N-doubling: measured a LOSS on v5e (static per-level,
+    # scripts/profile_conv_levels.py r5: L2 0.60 vs 0.64 but L3 6.92 vs
+    # 0.62 and bottleneck 0.60 vs 0.42 — the rhs lane-concat copy and
+    # doubled accumulator swamp the small-N amortization). Kept as a
+    # measured foil: RTNR_PHASE_NPAIR=1 enables.
+    npair = (
+        os.environ.get("RTNR_PHASE_NPAIR", "0") == "1"
+        and not pair and not upc and quant != "dyn"
+        and TR % 2 == 0
+    )
+    if npair and rows_per_step is None:
+        tr_auto, FB = _pick_tr_fb(h, P, Cs, F, pool, head, up_cd, quant,
+                                  out_q, npair=True)
+        TR = tr_auto
+        npair = TR % 2 == 0
     n_fb = F // FB
     assert h % TR == 0 and (not pool or (TR % 2 == 0 and P % 2 == 0))
     assert not upc or (n_fb == 1 and TR % 2 == 0)
@@ -1005,6 +1035,7 @@ def conv3x3_phase(
             out_q=out_q,
             blk_store=blk_store,
             pair=pair,
+            npair=npair,
         ),
         out_shape=out_shapes,
         grid=(n_fb, steps),

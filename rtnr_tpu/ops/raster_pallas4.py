@@ -587,7 +587,7 @@ def raster_images_pallas4(
     part_size: int = 32768,  # r4 sweep: 7.35 vs 7.66 ms at 16384
     sub_chunk: int = 2048,  # v5e sweep (scripts/profile_resolve4.py)
     expand_part: int = 16384,  # 32768 exceeds scoped VMEM in-pipeline
-    expand_sub: int = 2048,  # r4 sweep: 7.43 vs 7.57 ms at SE=1024
+    expand_sub: int = 4096,  # r5 sweep: 6.84 ms vs 7.4-7.5 at SE<=2048
     packed_out: bool = False,
     interpret: bool = False,
     place_int8: bool = None,

@@ -27,15 +27,17 @@ REPS = int(os.environ.get("BENCH_REPS", 10))
 
 def chained(fn, *args):
     @jax.jit
-    def run(a0):
+    def run(s0, a0):
         def body(k, acc):
-            outs = fn(a0[0] + acc.astype(a0[0].dtype), *a0[1:])
+            outs = fn(a0[0] + acc.astype(a0[0].dtype) + s0, *a0[1:])
             return acc + outs
         return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
 
-    jax.block_until_ready(run(args))
+    # warm and timed runs use DIFFERENT s0: the axon backend memoizes
+    # identical (program, input) executions (CLAUDE.md timing notes)
+    jax.block_until_ready(run(jnp.int32(0), args))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(args))
+    jax.block_until_ready(run(jnp.int32(1), args))
     return (time.perf_counter() - t0) / REPS * 1e3
 
 
@@ -45,8 +47,9 @@ def main():
     hw = 1920 * 1080
     # realistic block-coherent pixel stream: sorted-by-block scene projected
     pix = np.sort(rng.integers(0, hw, N).astype(np.int32))  # coherent-ish
-    perm = np.argsort(rng.standard_normal(N // 1024).repeat(1024)[:N],
-                      kind="stable")
+    perm = np.argsort(
+        rng.standard_normal(-(-N // 1024)).repeat(1024)[:N], kind="stable"
+    )
     pix = np.ascontiguousarray(pix[perm])  # locally coherent, globally mixed
     zb = rng.integers(0, 1 << 30, N).astype(np.int32)
     pk = rng.integers(0, 1 << 24, N).astype(np.int32)
