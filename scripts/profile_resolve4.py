@@ -44,15 +44,17 @@ def main():
         @jax.jit
         def run(z0):
             def body(k, acc):
-                spk = sp._replace(z=sp.z + 0.0 * acc)
+                spk = sp._replace(z=sp.z + 0.0 * acc + z0)
                 s, c, d = raster_images_pallas4(spk, hw, 0.02, **kw)
                 return acc + d[0] + s[0, 0].astype(jnp.float32)
 
             return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
+        # warm and timed runs use DIFFERENT z0: the axon backend memoizes
+        # identical (program, input) executions (CLAUDE.md timing notes)
         jax.block_until_ready(run(jnp.float32(0.0)))
         t0 = time.perf_counter()
-        jax.block_until_ready(run(jnp.float32(0.0)))
+        jax.block_until_ready(run(jnp.float32(1e-12)))
         return (time.perf_counter() - t0) / REPS * 1e3
 
     base = dict(part_size=16384, sub_chunk=2048, expand_part=16384,

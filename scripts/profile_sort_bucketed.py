@@ -29,12 +29,14 @@ def chained(fn, *args):
     @jax.jit
     def run(s0, a0):
         def body(k, acc):
-            outs = fn(a0[0] + acc.astype(a0[0].dtype) + s0, *a0[1:])
+            # ORDER-CHANGING perturbation: xor is not monotone, so the
+            # sort cannot be hoisted/simplified out of the loop (an
+            # additive `+ acc` perturbation is order-invariant — XLA
+            # hoists the whole sort and the loop times as ~0.06 ms)
+            outs = fn(a0[0] ^ (acc & 7) ^ s0, *a0[1:])
             return acc + outs
         return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
 
-    # warm and timed runs use DIFFERENT s0: the axon backend memoizes
-    # identical (program, input) executions (CLAUDE.md timing notes)
     jax.block_until_ready(run(jnp.int32(0), args))
     t0 = time.perf_counter()
     jax.block_until_ready(run(jnp.int32(1), args))
