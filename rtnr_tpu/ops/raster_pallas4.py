@@ -46,7 +46,7 @@ _I32 = jnp.int32
 _FLT_MAX_BITS = 0x7F7FFFFF
 
 
-def _place_rows(vals, d_row, NQ, int8: bool):
+def _place_rows(vals, d_row, NQ, int8: bool, nbytes=None):
     """Factored one-hot placement shared by the winners/expansion kernels.
 
     ``vals``: list of (1, W) i32 value rows; ``d_row``: (1, W) destination
@@ -58,8 +58,18 @@ def _place_rows(vals, d_row, NQ, int8: bool):
     v5e): byte planes are stored offset by -128 so they fit int8, and an
     occupancy row (one-hot matmul of ones) restores the +128 exactly at
     placed slots — bit-identical results to the bf16 byte-plane path.
+
+    ``nbytes`` (per value, default 4): byte planes carried for that value.
+    Values whose top bytes are STRUCTURALLY zero (24-bit packed rgb, pixel
+    ids below 2^24) skip those planes — the skipped planes reconstruct as
+    zero, so results stay bit-identical while the plane build + matmul
+    shrink.
     """
     W = d_row.shape[1]
+    nv = len(vals)
+    nbytes = list(nbytes) if nbytes is not None else [4] * nv
+    assert len(nbytes) == nv and all(1 <= nb <= 4 for nb in nbytes)
+    n_planes = sum(nbytes)
     q_iota = jax.lax.broadcasted_iota(_I32, (NQ, W), 0)
     hit = (d_row >> 7) == q_iota  # (NQ, W); rows select 128-blocks
     d_col = d_row.reshape(W, 1)
@@ -67,21 +77,20 @@ def _place_rows(vals, d_row, NQ, int8: bool):
     # row, so their value/occupancy contributions are zero regardless of
     # which Rm lane (-1 & 127 == 127) they select
     Rm = (d_col & 127) == jax.lax.broadcasted_iota(_I32, (W, 128), 1)
-    nv = len(vals)
     if int8:
         blocks = []
-        for v in vals:
-            for shift in (0, 8, 16, 24):
+        for v, nb in zip(vals, nbytes):
+            for shift in (0, 8, 16, 24)[:nb]:
                 b = ((v >> shift) & 255) - 128
                 blocks.append(jnp.where(hit, b, 0).astype(jnp.int8))
         blocks.append(hit.astype(jnp.int8))  # occupancy
-        B = jnp.concatenate(blocks, axis=0)  # ((4*nv+1)*NQ, W)
+        B = jnp.concatenate(blocks, axis=0)  # ((n_planes+1)*NQ, W)
         placed = jax.lax.dot_general(
             B, Rm.astype(jnp.int8),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=_I32,
         )
-        occ = placed[4 * nv * NQ :]
+        occ = placed[n_planes * NQ :]
 
         def plane(k):
             return placed[k * NQ : (k + 1) * NQ] + 128 * occ
@@ -90,10 +99,10 @@ def _place_rows(vals, d_row, NQ, int8: bool):
         Q = hit.astype(jnp.bfloat16)
         rows = [
             ((v >> shift) & 255).astype(jnp.bfloat16)
-            for v in vals
-            for shift in (0, 8, 16, 24)
+            for v, nb in zip(vals, nbytes)
+            for shift in (0, 8, 16, 24)[:nb]
         ]
-        B = jnp.concatenate([rb * Q for rb in rows], axis=0)  # (4*nv*NQ, W)
+        B = jnp.concatenate([rb * Q for rb in rows], axis=0)  # (n_planes*NQ, W)
         placed = jax.lax.dot_general(
             B, Rm.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -105,13 +114,13 @@ def _place_rows(vals, d_row, NQ, int8: bool):
 
     out_rows = []
     rq_i = jax.lax.broadcasted_iota(_I32, (NQ, 128), 0)
+    offs = [0]
+    for nb in nbytes:
+        offs.append(offs[-1] + nb)
     for jj in range(nv):
-        vblk = (
-            plane(4 * jj)
-            | (plane(4 * jj + 1) << 8)
-            | (plane(4 * jj + 2) << 16)
-            | (plane(4 * jj + 3) << 24)
-        )
+        vblk = plane(offs[jj])
+        for i in range(1, nbytes[jj]):
+            vblk = vblk | (plane(offs[jj] + i) << (8 * i))
         # row-q extraction as a masked sublane REDUCTION: lazy sublane
         # rolls keep a layout offset Mosaic's lane-concat rejects
         # ("offset mismatch on non-concat dimension")
@@ -363,7 +372,11 @@ def _winners_kernel4(
                     SUM[16 + c : 17 + c, sl], SUM[24 + c : 25 + c, sl],
                     h_zb[c : c + 1, sl], pix[c : c + 1, sl])
             d_row = sl_sub - o_sub  # winners: in [0, k_c)
-            out_rows = _place_rows(list(vals), d_row, NQ, place_int8)
+            # placed pix values are winner pixels < hw: drop structurally-
+            # zero top byte planes (bit-identical, less plane work)
+            pix_nb = 1 + max(0, (hw - 1).bit_length() - 1) // 8
+            out_rows = _place_rows(list(vals), d_row, NQ, place_int8,
+                                   nbytes=[4, 4, 4, 4, 4, pix_nb])
             out8 = jnp.concatenate(out_rows + [jnp.zeros((2, S), _I32)], axis=0)
 
             q = r_part + o_sub
@@ -543,7 +556,10 @@ def _expand_kernel4(
         valid = (wpix >= base) & (wpix < base + SE) & (wpix < hw) & (gidx < total)
         d_row = jnp.where(valid, wpix - base, _I32(-1))  # (1, SW)
         if packed_out:
-            out_rows = _place_rows(list(vrows[:2]), d_row, NQ, place_int8)
+            # pk is r|g<<8|b<<16 of 8-bit channel averages: top byte is
+            # structurally zero — 3 planes, bit-identical
+            out_rows = _place_rows(list(vrows[:2]), d_row, NQ, place_int8,
+                                   nbytes=[3, 4])
             depth = out_rows[1] ^ _I32(_FLT_MAX_BITS)
             out8 = jnp.concatenate(
                 [out_rows[0], depth, jnp.zeros((6, SE), _I32)], axis=0
