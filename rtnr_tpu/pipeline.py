@@ -284,6 +284,13 @@ class Renderer:
             from rtnr_tpu.models.fold_bn import fold_batchnorm
 
             unet_variables = fold_batchnorm(unet_variables)
+        if unet_variables is not None:
+            # pin the (inference-constant) weights on device ONCE: host
+            # numpy leaves would be re-transferred on EVERY compute_*
+            # call — ~124 MB/frame for the full-width net (seconds/frame
+            # over a remote-device link, and a needless host->device copy
+            # even locally)
+            unet_variables = jax.device_put(unet_variables)
         self.unet_variables = unet_variables
         self.unet = UNet(features=tuple(config.unet_features),
                          out_channels=config.unet_out_channels, dtype=dtype,

@@ -19,6 +19,15 @@ times, and reports:
 Frame 0 (jit compile + int8 calibration) is reported separately and
 excluded from the aggregates. Per-frame host dispatch is the point here —
 this measures the playback UX, not the queued-dispatch device ceiling.
+
+Measurement note: ``Renderer.compute_full`` returns the full frame as
+host numpy (the reference's per-frame device->host copy,
+project_cloud.cu:479) — but on THIS environment's remote-TPU tunnel that
+fetch costs seconds/frame (tunnel bandwidth, not renderer time), so the
+loop drives the renderer internals (``_view_points`` -> ``_full_jit``,
+the identical recompaction + render path) and fetches one scalar per
+frame, like bench.py. On local TPU hardware the full-frame fetch is a
+PCIe-class copy and compute_full is the right call.
 """
 
 import json
@@ -73,6 +82,22 @@ def main() -> None:
         E[1, 3] = 0.3 * np.sin(4.0 * np.pi * t)
         return E
 
+    import jax.numpy as jnp
+
+    def render_scalar(i: int):
+        """The compute_full path minus the full-frame host fetch (see
+        module docstring): identical _view_points recompaction + fused
+        jit, one scalar fetched."""
+        E = pose(i)
+        pts, cols, valid = rdr._view_points(cam, E)
+        M = rdr._cam_proj(cam, E)
+        rdr._ensure_act_scales(pts, cols, valid, M, cam.width, cam.height)
+        out = rdr._full_jit(pts, cols, valid, M, rdr.unet_variables,
+                            rdr._act_scales, width=cam.width,
+                            height=cam.height)
+        return float(out["rgb_f"][height // 2, width // 2, 1]
+                     + out["raw_depth"][0, 0].astype(jnp.float32))
+
     frame_ms = []
     recompact = []
     overflow = []
@@ -81,7 +106,7 @@ def main() -> None:
     for i in range(frames):
         cache_before = rdr._cull_cache
         t0 = time.perf_counter()
-        out = rdr.compute_full(cam, pose(i))
+        out = render_scalar(i)
         dt = (time.perf_counter() - t0) * 1e3
         frame_ms.append(dt)
         rec = rdr._cull_cache is not cache_before
