@@ -602,7 +602,7 @@ def raster_images_pallas4(
     depth_band: float,
     part_size: int = 32768,  # r4 sweep: 7.35 vs 7.66 ms at 16384
     sub_chunk: int = 2048,  # v5e sweep (scripts/profile_resolve4.py)
-    expand_part: int = 16384,  # 32768 exceeds scoped VMEM in-pipeline
+    expand_part: int = None,  # 32768 exceeds scoped VMEM in-pipeline
     expand_sub: int = 4096,  # r5 sweep: 6.84 ms vs 7.4-7.5 at SE<=2048
     packed_out: bool = False,
     interpret: bool = False,
@@ -615,6 +615,8 @@ def raster_images_pallas4(
     is (packed rgb r|g<<8|b<<16 (HW,) i32, depth (HW,) f32)."""
     if place_int8 is None:
         place_int8 = os.environ.get("RTNR_PLACE_INT8", "1") == "1"
+    if expand_part is None:
+        expand_part = int(os.environ.get("RTNR_EXPAND_PART", 16384))
     m = sp.pix.shape[0]
     L = part_size
     assert L % 8 == 0
