@@ -124,6 +124,7 @@ def project_and_sort(
     valid: Optional[jax.Array] = None,
     carriers: bool = True,
     depth_key: bool = True,
+    row_offset: Optional[jax.Array] = None,
 ) -> SortedPoints:
     """Project points and sort (with per-pixel carriers) by (pixel, depth).
 
@@ -133,9 +134,18 @@ def project_and_sort(
     arbitrary depth order. Only valid for consumers that are order-free
     within a segment (ops/raster_pallas5.py, which computes the segment min
     with a scan instead of taking the head) — the carrier path and v1-v4
-    kernels require the depth-sorted invariant."""
+    kernels require the depth-sorted invariant.
+
+    ``row_offset`` renders the row band [row_offset, row_offset + height)
+    of the FULL image: v is rounded with the full-image matrix first and
+    the offset subtracted as an integer, so each point's pixel row is
+    BIT-IDENTICAL to the full-image render — baking the shift into the
+    projection matrix instead changes f32 rounding near .5 boundaries
+    (parallel/tiles.py strip sharding)."""
     hw = width * height
     u, v, z = project_points(points, cam_proj.astype(jnp.float32))
+    if row_offset is not None:
+        v = v - jnp.asarray(row_offset, jnp.int32)
     pix, ok = _pixel_ids(u, v, z, valid, width, height)
     zs = jnp.where(ok, z, jnp.float32(jnp.inf))
 

@@ -61,7 +61,12 @@ def _tile_shard_fn(
         keep = cull_points(index, M, val, width=width, height=strip_h)
         n_candidates = jnp.sum(keep.astype(jnp.int32))
         pts, cols, val = compact_points(pts, cols, keep, tile_budget)
-    sp = project_and_sort(pts, cols, M, width=width, height=strip_h, valid=val)
+    # project with the FULL-image matrix + integer row offset: baking the
+    # strip shift into the matrix changes f32 rounding near .5 row
+    # boundaries (1-pixel strip-vs-full differences); the offset form is
+    # bit-identical to the single-device raster (ops/raster.py)
+    sp = project_and_sort(pts, cols, cam_proj, width=width, height=strip_h,
+                          valid=val, row_offset=t * jnp.int32(strip_h))
     if points_axis is not None:
         local_min = min_depth_image(sp, hw)
         gmin = jax.lax.pmin(local_min, points_axis)
@@ -210,10 +215,11 @@ def render_full_tile_sharded(
 
     def body(pts, cols, val, M, uvars):
         t = jax.lax.axis_index(tiles_axis)
-        Ms = strip_projection(M, t, strip_h)
         hw = width * strip_h
-        sp = project_and_sort(pts, cols, Ms, width=width, height=strip_h,
-                              valid=val)
+        # full-image matrix + integer row offset: bit-identical rounding
+        # vs the single-device raster (see rasterize_tile_sharded)
+        sp = project_and_sort(pts, cols, M, width=width, height=strip_h,
+                              valid=val, row_offset=t * jnp.int32(strip_h))
         if points_axis is not None:
             local_min = min_depth_image(sp, hw)
             gmin = jax.lax.pmin(local_min, points_axis)
