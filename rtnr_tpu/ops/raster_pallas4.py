@@ -600,7 +600,7 @@ def raster_images_pallas4(
     sp: SortedPoints,
     hw: int,
     depth_band: float,
-    part_size: int = 32768,  # r4 sweep: 7.35 vs 7.66 ms at 16384
+    part_size: int = None,  # r4 sweep: 32768 (7.35 vs 7.66 ms at 16384)
     sub_chunk: int = 2048,  # v5e sweep (scripts/profile_resolve4.py)
     expand_part: int = None,  # 32768 exceeds scoped VMEM in-pipeline
     expand_sub: int = 4096,  # r5 sweep: 6.84 ms vs 7.4-7.5 at SE<=2048
@@ -617,6 +617,8 @@ def raster_images_pallas4(
         place_int8 = os.environ.get("RTNR_PLACE_INT8", "1") == "1"
     if expand_part is None:
         expand_part = int(os.environ.get("RTNR_EXPAND_PART", 16384))
+    if part_size is None:
+        part_size = int(os.environ.get("RTNR_WINNERS_PART", 32768))
     m = sp.pix.shape[0]
     L = part_size
     assert L % 8 == 0
