@@ -55,6 +55,22 @@ def main() -> None:
     pts, cols, valid = scene.sorted_by_block().device_arrays(1024)
 
     int8_mode = os.environ.get("BENCH_UNET_INT8", "static")
+    if int8_mode != "off":
+        # the int8 paths live in the phase kernels; at shapes the phase
+        # layout doesn't support (pipeline.Renderer makes the same check)
+        # the bench degrades to the exact bf16/XLA path and says so
+        from rtnr_tpu.models.unet import UNet as _U, phase_input_ok
+        from rtnr_tpu.pipeline import pyramid_pad_shape as _pps
+
+        _ph, _pw = _pps(height, width, 4)
+        if not phase_input_ok(
+            _U(features=features, dtype=jnp.bfloat16, fold_bn=True,
+               quant_int8=True),
+            _ph, _pw,
+        ):
+            print(f"# phase layout unsupported at {width}x{height}: "
+                  "falling back to bf16", file=sys.stderr, flush=True)
+            int8_mode = "off"
     both = os.environ.get("BENCH_BOTH", "1") == "1" and int8_mode == "static"
     # init on host CPU: avoids a throwaway accelerator compile of flax init
     with jax.default_device(jax.devices("cpu")[0]):

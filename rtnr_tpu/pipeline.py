@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -35,9 +36,23 @@ from rtnr_tpu.scene import Scene
 
 
 def pyramid_pad_shape(height: int, width: int, levels: int) -> Tuple[int, int]:
-    """Smallest (H', W') >= (H, W) divisible by 2**levels."""
+    """Smallest (H', W') >= (H, W) divisible by 2**levels.
+
+    RTNR_PAD_TO_PHASE=1 additionally rounds H' up to the phase U-Net's row
+    constraint (4 * 2**levels, models/unet.py:phase_input_ok), extending
+    the int8/phase fast path to heights like 1440 (pads 1440 -> 1472 with
+    empty rows, ~2x faster U-Net at that shape). Opt-in because the extra
+    empty rows change the prefilter's BOTTOM-EDGE behavior within the last
+    2**levels image rows (coarse Laplacian/compare neighborhoods see empty
+    pad rows instead of the image boundary) — everywhere else the output
+    is unchanged, but those rows are no longer bit-parity with the
+    reference's exact-height pyramid."""
     m = 1 << levels
-    return (-(-height // m) * m, -(-width // m) * m)
+    ph = -(-height // m) * m
+    if os.environ.get("RTNR_PAD_TO_PHASE") == "1":
+        mh = 4 << levels
+        ph = -(-height // mh) * mh
+    return (ph, -(-width // m) * m)
 
 
 def pad_to_pyramid(
